@@ -1,0 +1,10 @@
+"""Initial-condition generators (the icgen equivalent).
+
+Each generator returns a primitive-state array for a given
+:class:`~pion_tpu.config.SimConfig` (reference: source/ics/icgen.cpp:83-257
+dispatch at icgen_base.cpp:36-130).
+"""
+from .shocktube import brio_wu, shocktube, toro_tests  # noqa: F401
+from .blast import blast_wave  # noqa: F401
+from .advection import advection_pulse  # noqa: F401
+from .mhd2d import field_loop, orszag_tang  # noqa: F401

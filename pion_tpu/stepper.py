@@ -1,0 +1,92 @@
+"""Time integration: OA1 / OA2 predictor-corrector updates.
+
+TPU-native re-derivation of the reference time integrator
+(reference: source/sim_control/time_integrator.cpp:70-243 ``advance_time``,
+``first_order_update``, ``second_order_update``, and :881-960
+``grid_update_state_vector``).  The reference's two per-cell state vectors
+``P`` (start-of-step) and ``Ph`` (half-step) become two dense arrays; one
+whole ``advance`` is a single pure function under ``jax.jit``.
+
+Scheme (OA2): Ph = P + (dt/2)*dU[Ph, 1st-order space];
+              P' = P + dt*dU[Ph, 2nd-order space].
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .boundaries import BoundaryData, apply_bcs
+from .config import SimConfig
+from .constants import SI, Eqn
+from .grid import Geometry
+from .ops.eqns import cons_to_prim, prim_to_cons
+from .ops.sweep import dynamics_dU
+from .ops.timestep import dynamics_dt
+
+
+def cell_advance(P, dU, cfg: SimConfig):
+    """U(P) + dU -> primitive, with floor recovery inside cons_to_prim
+    (reference: solver_eqn_hydro_adi.cpp:372-448 CellAdvanceTime)."""
+    U = prim_to_cons(P, cfg) + dU
+    return cons_to_prim(U, cfg)
+
+
+def glm_psi_damp(P, dt, ch, cfg: SimConfig, geom: Geometry):
+    """Parabolic damping psi *= exp(-dt*c_h*c_r), c_r = 0.25/dx
+    (reference: eqns_mhd_adiabatic.cpp:651-660 GLMsource;
+    calc_timestep.cpp:128-137 sets cr)."""
+    cr = cfg.glm_cr_factor / geom.dx
+    return P.at[SI].multiply(jnp.exp(-dt * ch * cr))
+
+
+def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch, mp_dU=None):
+    """One flux update: dU from Ph, applied on top of P.
+
+    Returns the advanced primitive state (the reference writes it into Ph,
+    then copies to P on the final step)."""
+    Ppad = apply_bcs(Ph, cfg, bdata)
+    dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
+    if mp_dU is not None:
+        dU = dU + mp_dU
+    Pnew = cell_advance(P, dU, cfg)
+    if cfg.eqn is Eqn.GLM:
+        Pnew = glm_psi_damp(Pnew, dt, ch, cfg, geom)
+    return Pnew
+
+
+def advance(P, dt, cfg: SimConfig, geom: Geometry,
+            bdata: Optional[BoundaryData] = None, ch=None):
+    """Advance one full step of size dt; returns the new state.
+
+    OA1: single 1st-order update (reference: time_integrator.cpp:80-97).
+    OA2: half-step predictor (1st-order space) then full corrector
+    (2nd-order space) (reference: time_integrator.cpp:99-124).
+    """
+    if cfg.eqn is Eqn.GLM and ch is None:
+        ch = cfg.cfl * geom.dx / dt
+    if cfg.ooa == 1:
+        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch)
+    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch)
+    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch)
+
+
+class StepFns(NamedTuple):
+    advance: callable   # (P, dt) -> P_new
+    calc_dt: callable   # (P,) -> scalar dynamical dt
+
+
+def make_step_fns(cfg: SimConfig, geom: Geometry,
+                  bdata: Optional[BoundaryData] = None) -> StepFns:
+    """Build jitted advance/dt functions with config closed over."""
+
+    @jax.jit
+    def _advance(P, dt):
+        return advance(P, dt, cfg, geom, bdata)
+
+    @jax.jit
+    def _calc_dt(P):
+        return dynamics_dt(P, cfg, geom)
+
+    return StepFns(advance=_advance, calc_dt=_calc_dt)

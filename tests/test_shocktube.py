@@ -1,0 +1,139 @@
+"""1D shock-tube regression tests against exact solutions.
+
+Equivalent of the reference's NG_shocktube suite gates (SURVEY.md §4):
+field-level comparison against the analytic Riemann solution.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pion_tpu import Eqn, SimConfig, Simulation, Solver
+from pion_tpu.constants import PG, RO, VX
+from pion_tpu.ics import brio_wu, toro_tests
+from pion_tpu.ops import riemann_hydro as rh
+from pion_tpu.ops.eqns import prim_to_cons
+
+
+def sod_cfg(n=256, solver=Solver.HLL, gamma=1.4, **kw):
+    return SimConfig(
+        ndim=1, eqn=Eqn.EULER, solver=solver, gamma=gamma,
+        shape=(n,), xmin=(0.0,), xmax=(1.0,),
+        bcs=(("outflow", "outflow"),), cfl=0.3, ooa=2,
+        av="falle", etav=0.1, **kw,
+    )
+
+
+def test_exact_pstar_classic_sod():
+    """Literature anchor: classic Sod (vl=0) has p*=0.30313, u*=0.92745
+    (Toro 1999 table 4.3)."""
+    cfg = sod_cfg()
+    Pl = jnp.asarray(np.array([1.0, 1.0, 0.0, 0.0, 0.0])[:, None])
+    Pr = jnp.asarray(np.array([0.125, 0.1, 0.0, 0.0, 0.0])[:, None])
+    pstar, vstar = rh.exact_pstar(Pl, Pr, cfg)
+    assert abs(float(pstar[0]) - 0.30313) < 1e-4
+    assert abs(float(vstar[0]) - 0.92745) < 1e-4
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 5])
+def test_exact_pstar_toro(n):
+    """Cross-check the Newton iteration against an independent bisection
+    root of the same pressure function (PION's tests use the modified Sod
+    with vl=0.75: reference shock_tube.cpp:475-485)."""
+    cfg = sod_cfg()
+    P0 = toro_tests(cfg, n)
+    i_mid = np.argmax(np.diff(P0[RO] + P0[PG]) != 0)
+    Pl = jnp.asarray(P0[:, : i_mid + 1][:, -1:])
+    Pr = jnp.asarray(P0[:, i_mid + 1 :][:, :1])
+    pstar, vstar = rh.exact_pstar(Pl, Pr, cfg)
+
+    def f(p):
+        return float(
+            rh._fK(jnp.asarray([p]), Pl[:, 0:1], rh.sound_speed(Pl, cfg), cfg.gamma)[0]
+            + rh._fK(jnp.asarray([p]), Pr[:, 0:1], rh.sound_speed(Pr, cfg), cfg.gamma)[0]
+            + float(Pr[VX, 0] - Pl[VX, 0])
+        )
+
+    lo, hi = 1e-10, 1e5
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if f(lo) * f(mid) <= 0:
+            hi = mid
+        else:
+            lo = mid
+    p_ref = 0.5 * (lo + hi)
+    assert abs(float(pstar[0]) - p_ref) / p_ref < 1e-5
+
+
+def exact_profile(cfg, Pl, Pr, x, x0, t):
+    """Analytic Riemann solution rho(x, t): shift frame so each sample point
+    sits at xi = (x-x0)/t = 0."""
+    s = (x - x0) / t
+    nvar = cfg.nvar
+    L = np.repeat(Pl[:, None], len(x), axis=1)
+    R = np.repeat(Pr[:, None], len(x), axis=1)
+    L[VX] -= s
+    R[VX] -= s
+    pstar, vstar = rh.exact_pstar(jnp.asarray(L), jnp.asarray(R), cfg)
+    P0 = rh._sample_exact(jnp.asarray(L), jnp.asarray(R), pstar, vstar, cfg)
+    out = np.array(P0)
+    out[VX] += s
+    return out
+
+
+@pytest.mark.parametrize(
+    "solver", [Solver.HLL, Solver.EXACT, Solver.RCV, Solver.RPV, Solver.FVS]
+)
+def test_sod_vs_exact(solver):
+    cfg = sod_cfg(n=256, solver=solver, tmax=0.2)
+    P0 = toro_tests(cfg, 1)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    x = cfg.cell_centers(0)
+    Pl = P0[:, 0].copy()
+    Pr = P0[:, -1].copy()
+    ref = exact_profile(cfg, Pl, Pr, x, 0.3, sim.t)
+    l1 = np.mean(np.abs(np.asarray(sim.P[RO]) - ref[RO])) / np.mean(ref[RO])
+    assert l1 < 0.015, f"L1 density error {l1} too large for {solver}"
+
+
+def test_toro2_no_nan():
+    """Double rarefaction (near-vacuum) must stay finite."""
+    cfg = sod_cfg(n=200, solver=Solver.HLL, tmax=0.15)
+    P0 = toro_tests(cfg, 2)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    assert np.all(np.isfinite(np.asarray(sim.P)))
+    assert np.all(np.asarray(sim.P[RO]) > 0)
+
+
+def test_brio_wu_runs():
+    cfg = SimConfig(
+        ndim=1, eqn=Eqn.GLM, solver=Solver.HLLD, gamma=2.0,
+        shape=(400,), xmin=(0.0,), xmax=(1.0,),
+        bcs=(("outflow", "outflow"),), cfl=0.3, ooa=2,
+        av="falle", etav=0.1, tmax=0.08,
+    )
+    P0 = brio_wu(cfg)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # compound wave + shock structure: density must dip below left state and
+    # the right-moving fast rarefaction must have started
+    assert out[RO].min() > 0.1
+    assert out[RO].max() <= 1.05
+    # conservation of mass on outflow-free interior
+    assert abs(out[RO].mean() - P0[RO].mean()) / P0[RO].mean() < 0.05
+
+
+def test_mass_conservation_periodic():
+    cfg = sod_cfg(n=128, solver=Solver.HLL, tmax=0.1).with_(
+        bcs=(("periodic", "periodic"),)
+    )
+    P0 = toro_tests(cfg, 1)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    U0 = np.asarray(prim_to_cons(jnp.asarray(P0), cfg))
+    sim.run()
+    U1 = np.asarray(prim_to_cons(sim.P, cfg))
+    for v in (RO, VX):
+        np.testing.assert_allclose(U1[v].sum(), U0[v].sum(), rtol=1e-10)
