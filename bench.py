@@ -1,0 +1,75 @@
+"""Benchmark: 3D GLM-MHD grid-cell updates per second per chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); we
+normalize against 1.0e6 cell-updates/s/core, a standard figure for explicit
+second-order finite-volume MHD in optimized C++ on one x86 core (the
+reference's Ostar2D walltime — 256^2 x ~1e4 steps in 15 min on 32 cores —
+implies ~0.7-2e6 including raytracing+chemistry, consistent with this).
+``vs_baseline`` is therefore the speedup of one TPU chip over one CPU core
+of the reference.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pion_tpu import SimConfig
+    from pion_tpu.boundaries import BoundaryData
+    from pion_tpu.grid import make_geometry
+    from pion_tpu.ics import blast_wave
+    from pion_tpu.stepper import advance
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    shape = (128, 128, 128) if on_tpu else (64, 64, 64)
+    cfg = SimConfig(
+        ndim=3, eqn="glm", solver="hlld", ntracer=1,
+        shape=shape, xmin=(0.0, 0.0, 0.0), xmax=(1.0, 1.0, 1.0),
+        bcs=tuple([("outflow", "outflow")] * 3),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, dtype="float32",
+    )
+    geom = make_geometry(cfg)
+    bdata = BoundaryData()
+
+    @jax.jit
+    def step(P, dt):
+        return advance(P, dt, cfg, geom, bdata)
+
+    P = jnp.asarray(blast_wave(cfg, B0=(0.1, 0.05, 0.0)).astype(cfg.np_dtype))
+    dt = jnp.asarray(1.0e-4, dtype=cfg.np_dtype)
+
+    def readback(out):
+        # scalar readback defeats async dispatch (block_until_ready is not
+        # reliable through the axon relay)
+        return float(out[0].sum())
+
+    # warmup/compile: both the step and the readback program
+    out = step(step(P, dt), dt)
+    readback(out)
+
+    n_iter = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    out = P
+    for _ in range(n_iter):
+        out = step(out, dt)
+    readback(out)
+    elapsed = time.perf_counter() - t0
+
+    ncell = 1
+    for s in shape:
+        ncell *= s
+    ups = ncell * n_iter / elapsed
+    print(json.dumps({
+        "metric": "3D GLM-MHD (HLLD, OA2) cell updates/s/chip",
+        "value": round(ups),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(ups / 1.0e6, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Device-mesh spatial sharding (the MPI domain decomposition equivalent).
+
+The reference decomposes each level into per-rank bricks with explicit
+MPI halo exchange (reference: source/decomposition/MCMD_control.cpp:62-230,
+source/boundaries/MCMD_boundaries.cpp).  Here the domain is one global dense
+array sharded over a ``jax.sharding.Mesh``; stencil shifts on sharded arrays
+compile to XLA collective-permutes over ICI, so "halo exchange" is emitted by
+the compiler rather than hand-written (GSPMD).  The same jitted ``advance``
+runs single-chip or multi-chip — only the shardings differ.
+
+Mesh axes are named after the array axes they shard: ('z','y','x') for 3D.
+Like the reference (MCMD_control.cpp nx search: most-divided along Z then Y
+then X), we put more shards on the slower axes first, keeping the fast/lane
+axis (x) whole when possible.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+
+AXIS_NAMES = ("z", "y", "x")
+
+
+def decompose(n_devices: int, ndim: int, shape: Sequence[int]) -> Tuple[int, ...]:
+    """Split n_devices into per-axis factors, most-divided on the slowest
+    axis (reference: MCMD_control.cpp:62-230 'nx' search)."""
+    factors = [1] * ndim
+    remaining = n_devices
+    # greedy: repeatedly assign the smallest prime factor to the axis with
+    # the largest cells-per-shard
+    primes = []
+    m = remaining
+    p = 2
+    while m > 1:
+        while m % p == 0:
+            primes.append(p)
+            m //= p
+        p += 1
+    for prime in sorted(primes, reverse=True):
+        ax = int(np.argmax([shape[i] / factors[i] for i in range(ndim)]))
+        factors[ax] *= prime
+    return tuple(factors)
+
+
+def make_mesh(cfg: SimConfig, n_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[: n_devices]
+    n = len(devices)
+    factors = decompose(n, cfg.ndim, cfg.shape)
+    names = AXIS_NAMES[-cfg.ndim:]
+    dev_array = np.array(devices).reshape(factors)
+    return Mesh(dev_array, names)
+
+
+def state_sharding(mesh: Mesh, cfg: SimConfig) -> NamedSharding:
+    """State arrays (nvar, *spatial): variable axis replicated, spatial axes
+    sharded along the mesh."""
+    spec = P(None, *mesh.axis_names)
+    return NamedSharding(mesh, spec)
+
+
+def shard_state(Pstate, mesh: Mesh, cfg: SimConfig):
+    return jax.device_put(Pstate, state_sharding(mesh, cfg))
