@@ -1,0 +1,2 @@
+from .snapshot import load_snapshot, save_snapshot  # noqa: F401
+from .compare import compare_snapshots, compare_states  # noqa: F401

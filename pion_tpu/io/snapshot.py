@@ -1,0 +1,77 @@
+"""Snapshot / checkpoint I/O.
+
+Equivalent of the reference's Silo/FITS snapshot stack
+(reference: source/dataIO/dataio_base.h:23-67; every snapshot is a full
+restart file: header parameters + all prognostic fields, and restart
+auto-detects the format — main.cpp:99-112).  Here a snapshot is a single
+``.npz`` holding the primitive field array plus a JSON-encoded header with
+the full SimConfig, so a restart reconstructs the identical run; sharded
+arrays are gathered on save and re-sharded by the caller on load.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import SimConfig
+
+FORMAT_VERSION = 1
+
+
+def _cfg_to_json(cfg: SimConfig) -> str:
+    d = dataclasses.asdict(cfg)
+    for k, v in d.items():
+        if isinstance(v, enum.Enum):
+            d[k] = v.value
+        elif isinstance(v, tuple):
+            d[k] = [
+                [e.value if isinstance(e, enum.Enum) else e for e in x]
+                if isinstance(x, tuple) else x
+                for x in v
+            ]
+    return json.dumps(d)
+
+
+def _cfg_from_json(s: str) -> SimConfig:
+    d = json.loads(s)
+    d["bcs"] = tuple(tuple(x) for x in d["bcs"])
+    for k in ("shape", "xmin", "xmax"):
+        d[k] = tuple(d[k])
+    return SimConfig(**d)
+
+
+def save_snapshot(path: str, P, cfg: SimConfig, t: float, step: int = 0,
+                  extra: Optional[dict] = None) -> str:
+    """Write one snapshot; returns the final path (adds .npz if missing)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    header = {
+        "format_version": FORMAT_VERSION,
+        "config": _cfg_to_json(cfg),
+        "t": float(t),
+        "step": int(step),
+    }
+    if extra:
+        header["extra"] = extra
+    arrays = {"P": np.asarray(P), "header": np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)  # atomic like the reference's checkpoint rotation
+    return path
+
+
+def load_snapshot(path: str) -> Tuple[SimConfig, np.ndarray, float, int]:
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        P = z["P"]
+    cfg = _cfg_from_json(header["config"])
+    return cfg, P, header["t"], header["step"]

@@ -29,11 +29,47 @@ class Simulation:
     t: float = 0.0
     step_count: int = 0
     last_dt: float = 0.0
+    # output/checkpoint policy (reference: sim_init.cpp:671-760 output_data,
+    # :681-700 rolling checkpoints alternating two files)
+    outfile: Optional[str] = None
+    opfreq: int = 0              # snapshot every N steps (0 = only final)
+    checkpoint_freq: int = 0     # rolling checkpoint every N steps
 
     def __post_init__(self):
         self.geom: Geometry = make_geometry(self.cfg)
         self.bdata: BoundaryData = make_fixed_strips(np.asarray(self.P), self.cfg)
         self.fns = make_step_fns(self.cfg, self.geom, self.bdata)
+        self._ckpt_flip = 0
+
+    @classmethod
+    def restart(cls, path: str, **kw) -> "Simulation":
+        """Resume from any snapshot (reference: main.cpp:99-112 restart
+        detection; every snapshot is a full restart file)."""
+        from .io import load_snapshot
+
+        cfg, P, t, step = load_snapshot(path)
+        sim = cls(cfg, jnp.asarray(P), t=t, step_count=step, **kw)
+        return sim
+
+    def save(self, path: Optional[str] = None) -> str:
+        from .io import save_snapshot
+
+        if path is None:
+            assert self.outfile, "set Simulation.outfile or pass a path"
+            path = f"{self.outfile}.{self.step_count:08d}"
+        return save_snapshot(path, np.asarray(self.P), self.cfg,
+                             self.t, self.step_count)
+
+    def _maybe_output(self):
+        if self.outfile is None:
+            return
+        if self.opfreq and self.step_count % self.opfreq == 0:
+            self.save()
+        if self.checkpoint_freq and self.step_count % self.checkpoint_freq == 0:
+            # alternate two files like the reference's .999999/.999998
+            suffix = 999999 - self._ckpt_flip
+            self._ckpt_flip ^= 1
+            self.save(f"{self.outfile}.{suffix}")
 
     # -- dt policy (reference: calc_timestep.cpp:219-260) ------------------
     def compute_dt(self) -> float:
@@ -58,7 +94,10 @@ class Simulation:
         tmax = self.cfg.tmax if tmax is None else tmax
         while self.t < tmax * (1.0 - 1e-12) and self.step_count < max_steps:
             self.step()
+            self._maybe_output()
             if callback is not None:
                 callback(self)
         self.P.block_until_ready()
+        if self.outfile is not None:
+            self.save()
         return self

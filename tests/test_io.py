@@ -1,0 +1,72 @@
+"""Checkpoint/restart + compare-tool tests.
+
+Gate modeled on the reference restart-equivalence procedure
+(reference: test_problems/OpenMP/README.md:43-58): a run interrupted and
+restarted from a checkpoint must match the uninterrupted run.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pion_tpu import SimConfig, Simulation
+from pion_tpu.ics import toro_tests
+from pion_tpu.io import compare_snapshots, compare_states, load_snapshot, save_snapshot
+
+
+def make(tmax=0.1):
+    cfg = SimConfig(
+        ndim=1, eqn="euler", solver="hll", gamma=1.4, shape=(128,),
+        xmin=(0.0,), xmax=(1.0,), bcs=(("outflow", "outflow"),),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=tmax,
+    )
+    return cfg, toro_tests(cfg, 1)
+
+
+def test_snapshot_roundtrip(tmp_path):
+    cfg, P0 = make()
+    p = save_snapshot(str(tmp_path / "snap"), P0, cfg, 0.123, 42)
+    cfg2, P2, t, step = load_snapshot(p)
+    assert cfg2 == cfg
+    assert (t, step) == (0.123, 42)
+    np.testing.assert_array_equal(P2, P0)
+
+
+def test_restart_equivalence(tmp_path):
+    cfg, P0 = make()
+    # uninterrupted run
+    sim_a = Simulation(cfg, jnp.asarray(P0))
+    sim_a.run()
+
+    # interrupted at a step boundary (checkpoints are step-based, so the dt
+    # sequence is unchanged), checkpointed, restarted
+    sim_b = Simulation(cfg, jnp.asarray(P0))
+    sim_b.run(max_steps=30)
+    ck = save_snapshot(str(tmp_path / "ck"), np.asarray(sim_b.P), cfg,
+                       sim_b.t, sim_b.step_count)
+    sim_c = Simulation.restart(ck)
+    # restore dt-growth limiter state for exact equivalence
+    sim_c.last_dt = sim_b.last_dt
+    sim_c.run()
+
+    res = compare_states(np.asarray(sim_a.P), np.asarray(sim_c.P))
+    assert res["all_max"] < 1e-12, res
+
+
+def test_output_cadence(tmp_path):
+    cfg, P0 = make(tmax=0.02)
+    sim = Simulation(cfg, jnp.asarray(P0), outfile=str(tmp_path / "run"),
+                     opfreq=5, checkpoint_freq=7)
+    sim.run()
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert any(".999999" in f or ".999998" in f for f in files)
+    assert sum(1 for f in files if ".99999" not in f) >= 2  # snapshots + final
+
+
+def test_compare_snapshots_cli(tmp_path):
+    cfg, P0 = make()
+    p1 = save_snapshot(str(tmp_path / "a"), P0, cfg, 0.0, 0)
+    P1 = P0.copy()
+    P1[0] *= 1.001
+    p2 = save_snapshot(str(tmp_path / "b"), P1, cfg, 0.0, 0)
+    res = compare_snapshots(p1, p2)
+    assert 0.0009 < res["rho"]["L1"] < 0.0011
+    assert res["pg"]["max"] == 0.0

@@ -1,0 +1,130 @@
+"""Multi-dimensional and curvilinear-coordinate tests.
+
+Gates modeled on the reference suite (SURVEY.md §4): axis-equivalence
+(serial-vs-parallel style exactness), uniform-state preservation on
+curvilinear grids (geometric source / flux-divergence cancellation), and
+2D MHD stability (Orszag-Tang, field loop).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pion_tpu import Coord, Eqn, SimConfig, Simulation, Solver
+from pion_tpu.constants import BX, BY, BZ, PG, RO, VX, VY
+from pion_tpu.ics import orszag_tang, toro_tests
+from pion_tpu.ics.blast import blast_wave
+
+
+def test_axis_equivalence_2d():
+    """A 1D shock tube swept along y must give bitwise the same answer as
+    along x (catches sweep-frame rotation errors)."""
+    n = 64
+    base = dict(eqn=Eqn.EULER, solver=Solver.HLL, gamma=1.4, cfl=0.3,
+                ooa=2, av="falle", etav=0.1, tmax=0.05)
+    cfg1 = SimConfig(ndim=1, shape=(n,), xmin=(0.0,), xmax=(1.0,),
+                     bcs=(("outflow", "outflow"),), **base)
+    P1 = toro_tests(cfg1, 1)
+    sim1 = Simulation(cfg1, jnp.asarray(P1))
+    sim1.run()
+
+    # 2D: vary along x (axis 1), uniform along y
+    cfg2x = SimConfig(ndim=2, shape=(8, n), xmin=(0.0, 0.0), xmax=(0.125, 1.0),
+                      bcs=(("periodic", "periodic"), ("outflow", "outflow")),
+                      **base)
+    P2 = np.repeat(P1[:, None, :], 8, axis=1)
+    sim2x = Simulation(cfg2x, jnp.asarray(P2))
+    sim2x.run()
+
+    # 2D: vary along y (axis 0), uniform along x; velocity must be v_y
+    cfg2y = SimConfig(ndim=2, shape=(n, 8), xmin=(0.0, 0.0), xmax=(1.0, 0.125),
+                      bcs=(("outflow", "outflow"), ("periodic", "periodic")),
+                      **base)
+    P2y = np.repeat(P1[:, :, None], 8, axis=2)
+    # swap vx <-> vy: the tube now runs along physical y
+    P2y[[VX, VY]] = P2y[[VY, VX]]
+    sim2y = Simulation(cfg2y, jnp.asarray(P2y))
+    sim2y.run()
+
+    a = np.asarray(sim1.P)
+    bx_ = np.asarray(sim2x.P)[:, 0, :]
+    by_ = np.asarray(sim2y.P)[:, :, 0]
+    np.testing.assert_allclose(bx_[RO], a[RO], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(bx_[VX], a[VX], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(by_[RO], a[RO], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(by_[VY], a[VX], rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("coords,ndim,shape", [
+    (Coord.CYLINDRICAL, 2, (32, 16)),
+    (Coord.SPHERICAL, 1, (64,)),
+])
+def test_uniform_state_preserved_curvilinear(coords, ndim, shape):
+    """Static uniform gas on cylindrical/spherical grids must stay static:
+    the geometric pressure source must exactly cancel the metric flux
+    divergence (reference: solver_eqn_hydro_adi.cpp:560-707)."""
+    bcs = ((("reflecting", "outflow"), ("outflow", "outflow"))
+           if ndim == 2 else (("reflecting", "outflow"),))
+    cfg = SimConfig(
+        ndim=ndim, eqn=Eqn.EULER, solver=Solver.HLL, coords=coords,
+        shape=shape, xmin=(0.0,) * ndim, xmax=(1.0,) * ndim,
+        bcs=bcs, cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.1,
+    )
+    P0 = np.zeros((cfg.nvar,) + cfg.shape)
+    P0[RO] = 1.7
+    P0[PG] = 0.83
+    sim = Simulation(cfg, jnp.asarray(P0))
+    for _ in range(20):
+        sim.last_dt = 0.0
+        sim.t = 0.0
+        sim.step()
+    out = np.asarray(sim.P)
+    np.testing.assert_allclose(out[RO], 1.7, rtol=1e-11)
+    np.testing.assert_allclose(out[PG], 0.83, rtol=1e-11)
+    assert np.abs(out[VX : VX + ndim]).max() < 1e-11
+
+
+def test_spherical_blast_runs():
+    """1D spherical blast wave: shock propagates outward, stays finite
+    (reference: test_problems blastwave_sph1d)."""
+    cfg = SimConfig(
+        ndim=1, eqn=Eqn.EULER, solver=Solver.EXACT, coords=Coord.SPHERICAL,
+        shape=(128,), xmin=(0.0,), xmax=(1.0,),
+        bcs=(("reflecting", "outflow"),), cfl=0.3, ooa=2,
+        av="falle", etav=0.1, tmax=0.05,
+    )
+    P0 = blast_wave(cfg, rho0=1.0, p0=0.1, p_in=100.0, r_in=0.1)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # shock moved outward: peak density beyond the initial hot region
+    x = cfg.cell_centers(0)
+    assert x[np.argmax(out[RO])] > 0.12
+    # velocity at origin ~ 0 by symmetry
+    assert abs(out[VX][0]) < 0.5
+
+
+def test_orszag_tang_stable():
+    """OT vortex (GLM-MHD, periodic): runs to t=0.2 finite with bounded
+    div(B) (reference: test_problems OrszagTang)."""
+    n = 64
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.GLM, solver=Solver.HLLD, gamma=5.0 / 3.0,
+        shape=(n, n), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+        bcs=(("periodic", "periodic"), ("periodic", "periodic")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.2, p_ref=0.13,
+    )
+    P0 = orszag_tang(cfg)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    assert out[RO].min() > 0.0
+    # divB (central differences, periodic) stays small relative to |B|/dx
+    dx = cfg.dx
+    divb = (
+        (np.roll(out[BX], -1, axis=1) - np.roll(out[BX], 1, axis=1)) / (2 * dx)
+        + (np.roll(out[BY], -1, axis=0) - np.roll(out[BY], 1, axis=0)) / (2 * dx)
+    )
+    bmag = np.sqrt(out[BX] ** 2 + out[BY] ** 2).mean()
+    assert np.abs(divb).mean() * dx / bmag < 0.1
