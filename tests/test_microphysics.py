@@ -1,0 +1,166 @@
+"""Microphysics tests: rate functions vs literature, analytic recombination,
+thermal equilibria (the standalone-rate-check strategy of the reference's
+microphysics/testing_scripts, SURVEY.md §4.5)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pion_tpu import Eqn, SimConfig
+from pion_tpu.constants import K_B, PG, RO, VX, YEAR
+from pion_tpu.microphysics import MPv3, MPv3Config, MPv7, MPOnlyCooling, MPv8
+from pion_tpu.microphysics import tables as TB
+from pion_tpu.microphysics.cooling import CoolingConfig, MPv8Config
+from pion_tpu.microphysics.mpv7 import MPv7Config
+
+
+def cfg_with_tracer():
+    return SimConfig(ndim=1, eqn=Eqn.EULER, ntracer=1, shape=(8,),
+                     xmin=(0.0,), xmax=(1.0,), bcs=(("outflow", "outflow"),))
+
+
+def uniform_state(cfg, nH=100.0, T=1.0e4, x=1.0):
+    mpc = MPv3Config(tracer_slot=5)
+    rho = nH * mpc.mean_mass_per_h
+    ntot = (mpc.n_ion + mpc.n_elec * x) * nH
+    P = np.zeros((cfg.nvar, 8))
+    P[RO] = rho
+    P[PG] = ntot * K_B * T
+    P[5] = x
+    return jnp.asarray(P), mpc
+
+
+# -- rate sanity vs published values ---------------------------------------
+
+def test_recomb_rate_vs_literature():
+    # Hummer94 case-B at 1e4 K: alpha_B ~ 2.59e-13 cm^3/s
+    a = float(TB.hii_rad_recomb_rate(1.0e4))
+    assert abs(a - 2.59e-13) / 2.59e-13 < 0.02
+
+
+def test_coll_ion_rate_vs_literature():
+    # Voronov-type fit at 1e5 K within a factor ~2 of 2.5e-8... use exact form
+    cir, cicr = TB.hi_coll_ion_rates(np.array([1.0e5]))
+    assert 1e-9 < cir[0] < 1e-7
+    assert cicr[0] == pytest.approx(2.18e-11 * cir[0])
+
+
+def test_cie_cooling_peak():
+    # WSS09 metals-only curve peaks around 2e5 K at ~1e-21.3 erg cm^3/s
+    T = np.logspace(4.2, 7.0, 200)
+    L = TB.cooling_rate_wss09_metals(T)
+    Tpk = T[np.argmax(L)]
+    assert 1.0e5 < Tpk < 4.0e5
+    assert 3e-22 < L.max() < 8e-22
+
+
+def test_photoion_tables_monotone():
+    tabs = TB.build_photoion_tables(Tstar=4.0e4, Rstar_cm=10.0 * 6.96e10,
+                                    n_sub=200, n_spl=20)
+    # rates decrease monotonically with optical depth
+    assert np.all(np.diff(tabs["pi_rate"]) <= 1e-10)
+    assert np.all(np.diff(tabs["pi_heat"]) <= 1e-10)
+
+
+# -- MPv3 integration ------------------------------------------------------
+
+def test_mpv3_recombination_analytic():
+    """No sources, cooling disabled by fixing T via high floor: pure
+    recombination obeys 1/(1-x') - 1/(1-x0) ~ alpha*ne*t."""
+    cfg = cfg_with_tracer()
+    P, mpc = uniform_state(cfg, nH=1000.0, T=1.0e4, x=0.99)
+    mp = MPv3(MPv3Config(tracer_slot=5, min_temperature=5000.0))
+    dt = 100.0 * YEAR
+    out = mp.update(P, dt, cfg)
+    x1 = float(out[5][0])
+    assert x1 < 0.99
+    # analytic: x(t) = x0/(1 + x0*alpha*1.1*nH*t) gives ~0.52 at alpha(1e4K);
+    # T cools toward the 5000K floor so alpha grows and x ends slightly lower
+    assert 0.40 < x1 < 0.60
+
+
+def test_mpv3_cooling_drives_to_floor():
+    cfg = cfg_with_tracer()
+    P, mpc = uniform_state(cfg, nH=1.0e4, T=3.0e4, x=0.5)
+    mp = MPv3(MPv3Config(tracer_slot=5, min_temperature=100.0))
+    out = P
+    dt = 300.0 * YEAR
+    for _ in range(20):
+        out = mp.update(out, dt, cfg)
+    T_end = float(mp.temperature(out, cfg)[0])
+    assert T_end < 3.0e4
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_mpv3_photoionization_heats_and_ionizes():
+    cfg = cfg_with_tracer()
+    P, mpc = uniform_state(cfg, nH=100.0, T=100.0, x=1e-6)
+    mp = MPv3(MPv3Config(tracer_slot=5, ion_src="mono", n_idot=1.0e48,
+                         min_temperature=50.0))
+    nH = 100.0
+    ds = 3.0e16
+    r = 1.0e17
+    rt = {
+        "tau0": jnp.zeros(8) + 0.0,
+        "ds": jnp.zeros(8) + ds,
+        "vshell": jnp.zeros(8) + 4.0 * np.pi * r * r * ds,
+        "n_idot": 1.0e48,
+        "g0_uv": jnp.zeros(8),
+        "g0_ir": jnp.zeros(8),
+    }
+    out = mp.update(P, 30.0 * YEAR, cfg, rt=rt)
+    x1 = float(out[5][0])
+    T1 = float(mp.temperature(out, cfg)[0])
+    assert x1 > 0.5, f"should ionize strongly, got x={x1}"
+    assert T1 > 1000.0, f"should heat, got T={T1}"
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_mpv3_timescales_positive():
+    cfg = cfg_with_tracer()
+    P, mpc = uniform_state(cfg)
+    mp = MPv3(MPv3Config(tracer_slot=5))
+    t = float(mp.timescales(P, cfg))
+    assert t > 0.0 and np.isfinite(t)
+
+
+# -- MPv7 / MPv8 / cooling-only -------------------------------------------
+
+def test_mpv7_equilibrium_stromgren_balance():
+    cfg = cfg_with_tracer()
+    mp = MPv7(MPv7Config(tracer_slot=5, ion_src=None))
+    P, _ = uniform_state(cfg, nH=100.0, x=0.9)
+    out = mp.update(P, 1.0e4 * YEAR, cfg)
+    # no source: recombination wins
+    assert float(out[5][0]) < 0.9
+    # temperature slaved to x
+    T = float(mp.temperature(out, cfg)[0])
+    assert 100.0 <= T <= 1.0e4
+
+
+def test_mp_only_cooling():
+    cfg = SimConfig(ndim=1, eqn=Eqn.EULER, shape=(8,), xmin=(0.0,),
+                    xmax=(1.0,), bcs=(("outflow", "outflow"),))
+    mp = MPOnlyCooling(CoolingConfig(min_temperature=1.0e4))
+    P = np.zeros((cfg.nvar, 8))
+    n = 1.0
+    T0 = 1.0e6
+    P[RO] = n * 0.61 * 1.67262192369e-24
+    P[PG] = n * K_B * T0
+    out = mp.update(jnp.asarray(P), 3.0e13, cfg)
+    T1 = float(mp.temperature(out, cfg)[0])
+    assert T1 < T0
+    assert T1 >= 1.0e4 * 0.99
+
+
+def test_mpv8_heating_cooling_balance():
+    cfg = cfg_with_tracer()
+    mp = MPv8(MPv8Config(tracer_slot=5, ion_src=None, min_temperature=50.0,
+                         max_temperature=1.0e4))
+    P, _ = uniform_state(cfg, nH=100.0, T=5000.0, x=0.0)
+    out = P
+    for _ in range(30):
+        out = mp.update(out, 1.0e3 * YEAR, cfg)
+    T = float(mp.temperature(out, cfg)[0])
+    # should approach the low equilibrium temperature
+    assert 40.0 < T < 5000.0
+    assert np.isfinite(T)
