@@ -82,13 +82,26 @@ class MPv7(JitCachedMP):
         return omx_dot
 
     def _update_impl(self, P, dt, cfg: SimConfig, rt: Dict):
+        """Backward-Euler with bound-limited scalar Newton per substep (the
+        explicit form cannot equilibrate the stiff photoionization front)."""
+        import jax
+
         c = self.mpc
         nH = self.n_H(P[RO])
         omx = jnp.clip(1.0 - P[c.tracer_slot], MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
-        h = dt / 16.0
-        for _ in range(16):
-            omx = jnp.clip(omx + h * self.xdot(omx, nH, rt),
-                           MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
+        h = dt / 8.0
+        for _ in range(8):
+            prev = omx
+            y = omx
+            for _i in range(10):
+                f, df = jax.jvp(lambda a: self.xdot(a, nH, rt), (y,),
+                                (jnp.ones_like(y),))
+                g = y - prev - h * f
+                dg = 1.0 - h * df
+                step = g / jnp.where(jnp.abs(dg) > 1e-300, dg, 1.0)
+                step = jnp.clip(step, -0.25, 0.25)
+                y = jnp.clip(y - step, MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
+            omx = y
         x = 1.0 - omx
         out = P.at[c.tracer_slot].set(x)
         return out.at[PG].set(self.n_tot(nH, x) * K_B * self.t_of_x(x))
