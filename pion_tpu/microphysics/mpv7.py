@@ -37,6 +37,10 @@ class MPv7Config:
         return 1.0 - self.helium_mass_frac
 
     @property
+    def mean_mass_per_h(self):
+        return M_P / self.x_frac
+
+    @property
     def mol(self):
         return 0.5 if self.metal_mass_frac > 0.5 else 1.0
 

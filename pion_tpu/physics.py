@@ -1,0 +1,96 @@
+"""Coupled physics set: chemistry module + radiation sources.
+
+Binds a microphysics module and a raytracer into the objects the time
+integrator consumes (the equivalent of the reference's MP/RT global pointers
+plus setup_raytracing / RT_all_sources orchestration —
+reference: source/sim_control/sim_init.cpp:254-256,806;
+time_integrator.cpp:253-470 calc_microphysics_dU).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .constants import RO, SI
+from .grid import Geometry
+from .microphysics.mpv3 import MIN_NEUTRAL, SIGMA0
+from .raytracing import Raytracer, Source
+
+
+@dataclasses.dataclass
+class Physics:
+    """Chemistry + radiation for one simulation."""
+
+    mp: object                        # microphysics module (MPv3/7/8/...)
+    sources: List[Source] = dataclasses.field(default_factory=list)
+    raytracer: Optional[Raytracer] = None
+    dt_limit: bool = True             # apply the chemistry timestep limit
+
+    def setup(self, cfg: SimConfig, geom: Geometry):
+        if self.sources and self.raytracer is None:
+            self.raytracer = Raytracer(cfg, geom, self.sources)
+        return self
+
+    # -- opacity (reference: MPv3::get_dtau, MPv3.cpp:1082-1112) -----------
+    def dtau_for(self, src: Source, Ph, ds):
+        mpc = self.mp.mpc
+        rho = Ph[RO]
+        if src.effect in ("mono", "mfion"):
+            omx = jnp.clip(1.0 - Ph[mpc.tracer_slot], MIN_NEUTRAL,
+                           1.0 - MIN_NEUTRAL)
+            return rho * omx / mpc.mean_mass_per_h * SIGMA0 * ds
+        if src.effect == "uv_heating":
+            Z = getattr(mpc, "metallicity", 1.0)
+            return rho * 5.348e-22 * Z / mpc.mean_mass_per_h * ds
+        raise ValueError(f"unknown source effect {src.effect}")
+
+    def raytrace(self, Ph) -> Dict:
+        """Trace all sources through the current state; assemble the rt dict
+        (reference: setup_radiation_source_parameters, MPv3.cpp:1431-1516)."""
+        rt: Dict = {}
+        g0_uv = None
+        g0_ir = None
+        for i, src in enumerate(self.sources):
+            if src.at_infinity:
+                ds0 = jnp.full_like(Ph[RO], self.raytracer.geom.dx)
+            else:
+                ds0 = jnp.asarray(self.raytracer.point_tracers[i].ds)
+            dtau = self.dtau_for(src, Ph, ds0)
+            tau, ds, vshell = self.raytracer.trace_source(i, dtau)
+            if src.effect in ("mono", "mfion"):
+                rt.update(tau0=tau, ds=ds, vshell=vshell,
+                          n_idot=src.strength)
+            else:  # uv_heating (Henney+09 A3/A6 attenuation; /1.2e7 norm)
+                flux = src.strength * ds / vshell
+                uv = flux * jnp.exp(-1.90 * tau)
+                ir = flux * jnp.exp(-0.05 * tau)
+                g0_uv = uv if g0_uv is None else g0_uv + uv
+                g0_ir = ir if g0_ir is None else g0_ir + ir
+        z = jnp.zeros_like(Ph[RO])
+        rt.setdefault("tau0", z + 1.0e6)
+        rt.setdefault("ds", z)
+        rt.setdefault("vshell", z + 1.0e200)
+        rt.setdefault("n_idot", 0.0)
+        rt["g0_uv"] = (g0_uv / 1.2e7) if g0_uv is not None else z
+        rt["g0_ir"] = (g0_ir / 1.2e7) if g0_ir is not None else z
+        return rt
+
+    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig):
+        """Conserved-variable increment from the chemistry update
+        (reference: calc_RT_microphysics_dU — dU += U(p_out)-U(p_in),
+        time_integrator.cpp:430-497; base state is P, columns from Ph)."""
+        from .ops.eqns import prim_to_cons
+
+        rt = self.raytrace(Ph) if self.sources else None
+        P_new = (self.mp._update_impl(P, dt, cfg, rt) if rt is not None
+                 else self.mp._update_impl(P, dt, cfg, self.mp.default_rt(P)))
+        return prim_to_cons(P_new, cfg) - prim_to_cons(P, cfg)
+
+    def timescale(self, P, cfg: SimConfig):
+        rt = self.raytrace(P) if self.sources else None
+        if rt is None:
+            rt = self.mp.default_rt(P)
+        return self.mp._timescales_impl(P, cfg, rt)

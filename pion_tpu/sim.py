@@ -34,11 +34,15 @@ class Simulation:
     outfile: Optional[str] = None
     opfreq: int = 0              # snapshot every N steps (0 = only final)
     checkpoint_freq: int = 0     # rolling checkpoint every N steps
+    physics: Optional[object] = None   # pion_tpu.physics.Physics
 
     def __post_init__(self):
         self.geom: Geometry = make_geometry(self.cfg)
         self.bdata: BoundaryData = make_fixed_strips(np.asarray(self.P), self.cfg)
-        self.fns = make_step_fns(self.cfg, self.geom, self.bdata)
+        if self.physics is not None:
+            self.physics.setup(self.cfg, self.geom)
+        self.fns = make_step_fns(self.cfg, self.geom, self.bdata,
+                                 physics=self.physics)
         self._ckpt_flip = 0
 
     @classmethod

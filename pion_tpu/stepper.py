@@ -41,23 +41,33 @@ def glm_psi_damp(P, dt, ch, cfg: SimConfig, geom: Geometry):
     return P.at[SI].multiply(jnp.exp(-dt * ch * cr))
 
 
-def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch, mp_dU=None):
+def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
+                    physics=None):
     """One flux update: dU from Ph, applied on top of P.
 
+    Chemistry contributes a conserved increment computed from P with columns
+    traced through Ph (reference: time_integrator.cpp:151-197, 206-243 —
+    RT_all_sources -> calc_microphysics_dU -> calc_dynamics_dU).
     Returns the advanced primitive state (the reference writes it into Ph,
     then copies to P on the final step)."""
     Ppad = apply_bcs(Ph, cfg, bdata)
     dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
-    if mp_dU is not None:
-        dU = dU + mp_dU
+    if physics is not None:
+        dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)
     Pnew = cell_advance(P, dU, cfg)
     if cfg.eqn is Eqn.GLM:
         Pnew = glm_psi_damp(Pnew, dt, ch, cfg, geom)
+    if physics is not None:
+        # temperature clamps (reference: grid_update_state_vector:914-920)
+        T = physics.mp.temperature(Pnew, cfg)
+        Pnew = jnp.where(T > cfg.max_temperature,
+                         physics.mp.set_temp(Pnew, cfg.max_temperature, cfg),
+                         Pnew)
     return Pnew
 
 
 def advance(P, dt, cfg: SimConfig, geom: Geometry,
-            bdata: Optional[BoundaryData] = None, ch=None):
+            bdata: Optional[BoundaryData] = None, ch=None, physics=None):
     """Advance one full step of size dt; returns the new state.
 
     OA1: single 1st-order update (reference: time_integrator.cpp:80-97).
@@ -67,9 +77,9 @@ def advance(P, dt, cfg: SimConfig, geom: Geometry,
     if cfg.eqn is Eqn.GLM and ch is None:
         ch = cfg.cfl * geom.dx / dt
     if cfg.ooa == 1:
-        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch)
-    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch)
-    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch)
+        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch, physics)
+    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch, physics)
+    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch, physics)
 
 
 class StepFns(NamedTuple):
@@ -78,15 +88,21 @@ class StepFns(NamedTuple):
 
 
 def make_step_fns(cfg: SimConfig, geom: Geometry,
-                  bdata: Optional[BoundaryData] = None) -> StepFns:
+                  bdata: Optional[BoundaryData] = None,
+                  physics=None) -> StepFns:
     """Build jitted advance/dt functions with config closed over."""
 
     @jax.jit
     def _advance(P, dt):
-        return advance(P, dt, cfg, geom, bdata)
+        return advance(P, dt, cfg, geom, bdata, physics=physics)
 
     @jax.jit
     def _calc_dt(P):
-        return dynamics_dt(P, cfg, geom)
+        dt = dynamics_dt(P, cfg, geom)
+        if physics is not None and physics.dt_limit:
+            # chemistry/cooling dt limit (reference: calc_timestep.cpp:342
+            # calc_microphysics_dt with MP_timestep_limit)
+            dt = jnp.minimum(dt, physics.timescale(P, cfg))
+        return dt
 
     return StepFns(advance=_advance, calc_dt=_calc_dt)
