@@ -22,17 +22,30 @@ from .raytracing import Raytracer, Source
 
 @dataclasses.dataclass
 class Physics:
-    """Chemistry + radiation for one simulation."""
+    """Chemistry + radiation + internal wind boundaries."""
 
-    mp: object                        # microphysics module (MPv3/7/8/...)
+    mp: object = None                 # microphysics module (MPv3/7/8/...)
     sources: List[Source] = dataclasses.field(default_factory=list)
     raytracer: Optional[Raytracer] = None
     dt_limit: bool = True             # apply the chemistry timestep limit
+    wind_sources: List = dataclasses.field(default_factory=list)
+    winds: List = dataclasses.field(default_factory=list)
 
     def setup(self, cfg: SimConfig, geom: Geometry):
         if self.sources and self.raytracer is None:
             self.raytracer = Raytracer(cfg, geom, self.sources)
+        if self.wind_sources and not self.winds:
+            from .winds import make_wind_bcs
+
+            self.winds = make_wind_bcs(cfg, geom, self.wind_sources)
         return self
+
+    def apply_internal_bcs(self, P, t):
+        """Overwrite wind regions (reference: TimeUpdateInternalBCs ->
+        BC_update_STWIND, boundaries/stellar_wind_boundaries.cpp)."""
+        for w in self.winds:
+            P = w.apply(P, t)
+        return P
 
     # -- opacity (reference: MPv3::get_dtau, MPv3.cpp:1082-1112) -----------
     def dtau_for(self, src: Source, Ph, ds):

@@ -41,6 +41,10 @@ class Simulation:
         self.bdata: BoundaryData = make_fixed_strips(np.asarray(self.P), self.cfg)
         if self.physics is not None:
             self.physics.setup(self.cfg, self.geom)
+            # carve wind regions into the initial state (reference:
+            # assign_boundary_data for STWIND at setup)
+            if self.physics.winds:
+                self.P = self.physics.apply_internal_bcs(self.P, self.t)
         self.fns = make_step_fns(self.cfg, self.geom, self.bdata,
                                  physics=self.physics)
         self._ckpt_flip = 0
@@ -80,14 +84,15 @@ class Simulation:
         dt = float(self.fns.calc_dt(self.P))
         if self.last_dt > 0.0:
             dt = min(dt, self.cfg.max_dt_growth * self.last_dt)
-        dt = min(dt, self.cfg.tmax - self.t)
+        tmax = getattr(self, "_tmax", None) or self.cfg.tmax
+        dt = min(dt, tmax - self.t)
         if dt < self.cfg.min_timestep:
             raise RuntimeError(f"timestep too small: {dt}")
         return dt
 
     def step(self) -> float:
         dt = self.compute_dt()
-        self.P = self.fns.advance(self.P, dt)
+        self.P = self.fns.advance(self.P, dt, self.t)
         self.t += dt
         self.last_dt = dt
         self.step_count += 1
@@ -96,6 +101,7 @@ class Simulation:
     def run(self, tmax: Optional[float] = None, max_steps: int = 10**9,
             callback: Optional[Callable] = None):
         tmax = self.cfg.tmax if tmax is None else tmax
+        self._tmax = tmax
         while self.t < tmax * (1.0 - 1e-12) and self.step_count < max_steps:
             self.step()
             self._maybe_output()

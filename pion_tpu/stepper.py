@@ -42,7 +42,7 @@ def glm_psi_damp(P, dt, ch, cfg: SimConfig, geom: Geometry):
 
 
 def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
-                    physics=None):
+                    physics=None, t=0.0):
     """One flux update: dU from Ph, applied on top of P.
 
     Chemistry contributes a conserved increment computed from P with columns
@@ -52,22 +52,25 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
     then copies to P on the final step)."""
     Ppad = apply_bcs(Ph, cfg, bdata)
     dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
-    if physics is not None:
+    if physics is not None and physics.mp is not None:
         dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)
     Pnew = cell_advance(P, dU, cfg)
     if cfg.eqn is Eqn.GLM:
         Pnew = glm_psi_damp(Pnew, dt, ch, cfg, geom)
     if physics is not None:
-        # temperature clamps (reference: grid_update_state_vector:914-920)
-        T = physics.mp.temperature(Pnew, cfg)
-        Pnew = jnp.where(T > cfg.max_temperature,
-                         physics.mp.set_temp(Pnew, cfg.max_temperature, cfg),
-                         Pnew)
+        if physics.mp is not None:
+            # temperature clamps (reference: grid_update_state_vector:914-920)
+            T = physics.mp.temperature(Pnew, cfg)
+            Pnew = jnp.where(
+                T > cfg.max_temperature,
+                physics.mp.set_temp(Pnew, cfg.max_temperature, cfg), Pnew)
+        Pnew = physics.apply_internal_bcs(Pnew, t + dt)
     return Pnew
 
 
 def advance(P, dt, cfg: SimConfig, geom: Geometry,
-            bdata: Optional[BoundaryData] = None, ch=None, physics=None):
+            bdata: Optional[BoundaryData] = None, ch=None, physics=None,
+            t=0.0):
     """Advance one full step of size dt; returns the new state.
 
     OA1: single 1st-order update (reference: time_integrator.cpp:80-97).
@@ -77,9 +80,9 @@ def advance(P, dt, cfg: SimConfig, geom: Geometry,
     if cfg.eqn is Eqn.GLM and ch is None:
         ch = cfg.cfl * geom.dx / dt
     if cfg.ooa == 1:
-        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch, physics)
-    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch, physics)
-    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch, physics)
+        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch, physics, t)
+    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch, physics, t)
+    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch, physics, t)
 
 
 class StepFns(NamedTuple):
@@ -93,13 +96,13 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
     """Build jitted advance/dt functions with config closed over."""
 
     @jax.jit
-    def _advance(P, dt):
-        return advance(P, dt, cfg, geom, bdata, physics=physics)
+    def _advance(P, dt, t=0.0):
+        return advance(P, dt, cfg, geom, bdata, physics=physics, t=t)
 
     @jax.jit
     def _calc_dt(P):
         dt = dynamics_dt(P, cfg, geom)
-        if physics is not None and physics.dt_limit:
+        if physics is not None and physics.dt_limit and physics.mp is not None:
             # chemistry/cooling dt limit (reference: calc_timestep.cpp:342
             # calc_microphysics_dt with MP_timestep_limit)
             dt = jnp.minimum(dt, physics.timescale(P, cfg))
