@@ -32,12 +32,13 @@ class BoundaryData:
     ``fixed[(axis, side)]`` holds a ghost-strip array of shape
     (nvar, ..., ng, ...) — the frozen inflow/fixed state for that face
     (reference: inflow_boundaries.cpp / fixed_boundaries.cpp store refval).
-    ``jet`` optionally holds (axis, side, radius_cells, state_vector) for the
-    jet inflow region (reference: jet_boundaries.cpp).
+    ``jet`` optionally holds (radius_physical, state_vector) for a jet
+    inflow region on a BC.JET face (reference: jet_boundaries.cpp: inflow
+    within JP.jetradius of the axis, reflecting outside).
     """
 
     fixed: Dict[Tuple[int, int], np.ndarray] = dataclasses.field(default_factory=dict)
-    jet: Optional[Tuple[int, int, int, np.ndarray]] = None
+    jet: Optional[Tuple[float, np.ndarray]] = None
 
     def __hash__(self):
         return hash(
@@ -45,12 +46,33 @@ class BoundaryData:
                 tuple(sorted((k, v.tobytes()) for k, v in self.fixed.items())),
                 None
                 if self.jet is None
-                else (self.jet[0], self.jet[1], self.jet[2], self.jet[3].tobytes()),
+                else (self.jet[0], self.jet[1].tobytes()),
             )
         )
 
     def __eq__(self, other):
         return isinstance(other, BoundaryData) and hash(self) == hash(other)
+
+
+# Double-Mach-reflection states (reference:
+# double_Mach_ref_boundaries.cpp:39-44 pre-shock, :189-194 post-shock).
+DMR_POST = (8.0, 116.5, 7.14470958, -4.125, 0.0)
+DMR_PRE = (1.4, 1.0, 0.0, 0.0, 0.0)
+
+
+def _dmr_state(cfg: SimConfig, shape_like, x, y, t):
+    """Post/pre-shock state selected by the oblique shock position
+    x_s(y,t) = 10 t/sin(60deg) + 1/6 + y/tan(60deg) (reference: :184-198)."""
+    import jax.numpy as jnp_
+
+    bpos = 10.0 * t / np.sin(np.pi / 3.0) + 1.0 / 6.0 + y / np.tan(np.pi / 3.0)
+    post_mask = x <= bpos
+    vals = []
+    for v in range(cfg.nvar):
+        pv = DMR_POST[v] if v < 5 else 1.0
+        qv = DMR_PRE[v] if v < 5 else -1.0
+        vals.append(jnp_.where(post_mask, pv, qv))
+    return jnp_.stack(vals)
 
 
 def _mirror_signs(cfg: SimConfig, axis: int, kind: BC) -> np.ndarray:
@@ -76,7 +98,7 @@ def _mirror_signs(cfg: SimConfig, axis: int, kind: BC) -> np.ndarray:
     return sg
 
 
-def _pad_axis(P, cfg: SimConfig, axis: int, bdata: BoundaryData):
+def _pad_axis(P, cfg: SimConfig, axis: int, bdata: BoundaryData, t=0.0):
     """Pad one spatial axis with ng ghost layers on each side."""
     ng = cfg.ng
     lo_bc, hi_bc = cfg.bcs[axis]
@@ -87,6 +109,15 @@ def _pad_axis(P, cfg: SimConfig, axis: int, bdata: BoundaryData):
         return jnp.take(P, jnp.asarray(idx), axis=ax)
 
     n = P.shape[ax]
+
+    def mirror(side: int, kind: BC):
+        sg = jnp.asarray(_mirror_signs(cfg, axis, kind)).reshape(
+            (-1,) + (1,) * cfg.ndim)
+        strip = (
+            take(range(ng - 1, -1, -1)) if side == 0
+            else take(range(n - 1, n - ng - 1, -1))
+        )
+        return strip * sg
 
     def ghost(side: int, kind: BC):
         # side: 0 = low face, 1 = high face; returns ng-layer strip ordered
@@ -104,14 +135,7 @@ def _pad_axis(P, cfg: SimConfig, axis: int, bdata: BoundaryData):
                 edge = edge.at[vslot].set(vn)
             return edge
         if kind in (BC.REFLECTING, BC.JETREFLECT, BC.AXISYMMETRIC):
-            sg = jnp.asarray(_mirror_signs(cfg, axis, kind)).reshape(
-                (-1,) + (1,) * cfg.ndim
-            )
-            strip = (
-                take(range(ng - 1, -1, -1)) if side == 0
-                else take(range(n - 1, n - ng - 1, -1))
-            )
-            return strip * sg
+            return mirror(side, kind)
         if kind in (BC.INFLOW, BC.FIXED):
             strip = bdata.fixed.get((axis, side))
             if strip is None:
@@ -119,22 +143,55 @@ def _pad_axis(P, cfg: SimConfig, axis: int, bdata: BoundaryData):
                     f"{kind} BC on axis {axis} side {side} needs BoundaryData.fixed"
                 )
             return jnp.asarray(strip)
+        if kind is BC.DMACH:
+            # time-dependent oblique-shock top boundary of the double-Mach
+            # reflection problem (reference: double_Mach_ref_boundaries.cpp
+            # BC_update_DMACH:169-200); valid on the slow-axis hi face in 2D
+            assert cfg.ndim == 2 and axis == 0 and side == 1
+            x = jnp.asarray(cfg.cell_centers(1))[None, :]
+            dxc = cfg.dx
+            yg = cfg.xmax[0] + (jnp.arange(ng) + 0.5) * dxc
+            y = yg[:, None]
+            return _dmr_state(cfg, None, x, y, t)
+        if kind is BC.DMACH2:
+            # fixed post-shock wedge x<1/6 on the bottom wall, reflecting
+            # beyond (reference: :100-160)
+            assert cfg.ndim == 2 and axis == 0 and side == 0
+            base = mirror(side, BC.REFLECTING)
+            x = jnp.asarray(cfg.cell_centers(1))[None, None, :]
+            post = jnp.asarray(np.array(
+                list(DMR_POST) + [1.0] * cfg.ntracer))
+            post = post.reshape((-1, 1, 1))
+            return jnp.where(x < 1.0 / 6.0, post, base)
+        if kind is BC.JET:
+            # jet inflow within `radius` of the symmetry axis, reflecting
+            # outside (reference: jet_boundaries.cpp); jet flows along +x,
+            # so the face is the LAST axis lo side
+            assert axis == cfg.ndim - 1 and side == 0
+            assert bdata.jet is not None, "JET BC needs BoundaryData.jet"
+            radius, jstate = bdata.jet
+            base = mirror(side, BC.REFLECTING)
+            if cfg.ndim == 2:
+                # transverse axis 0 is already padded
+                rr = jnp.abs(jnp.asarray(cfg.cell_centers(0, padded=True)))
+                rdist = rr[None, :, None]
+            else:
+                yy = jnp.asarray(cfg.cell_centers(1, padded=True))
+                zz = jnp.asarray(cfg.cell_centers(0, padded=True))
+                yc = 0.5 * (cfg.xmin[1] + cfg.xmax[1])
+                zc = 0.5 * (cfg.xmin[0] + cfg.xmax[0])
+                rdist = jnp.hypot(zz[:, None] - zc, yy[None, :] - yc)
+                rdist = rdist[None, :, :, None]
+            js = jnp.asarray(jstate).reshape((-1,) + (1,) * cfg.ndim)
+            return jnp.where(rdist < radius, js, base)
         raise NotImplementedError(f"BC {kind} not implemented yet")
 
     lo = ghost(0, lo_bc)
     hi = ghost(1, hi_bc)
-    out = jnp.concatenate([lo, P, hi], axis=ax)
-
-    # Jet inflow overwrites part of a face after the base (reflecting) pad
-    # (reference: jet_boundaries.cpp: JETBC within jetradius about the axis).
-    if bdata.jet is not None and bdata.jet[0] == axis:
-        jaxis, jside, jrad, jstate = bdata.jet
-        if (jside == 0 and lo_bc is BC.JET) or (jside == 1 and hi_bc is BC.JET):
-            raise NotImplementedError("jet BC applied via jet_mask in winds module")
-    return out
+    return jnp.concatenate([lo, P, hi], axis=ax)
 
 
-def apply_bcs(P, cfg: SimConfig, bdata: Optional[BoundaryData] = None):
+def apply_bcs(P, cfg: SimConfig, bdata: Optional[BoundaryData] = None, t=0.0):
     """Pad all axes with BC-filled ghost zones (slowest axis first, so corner
     ghosts are filled from already-padded transverse data, matching the
     reference's sequential boundary updates)."""
@@ -142,7 +199,7 @@ def apply_bcs(P, cfg: SimConfig, bdata: Optional[BoundaryData] = None):
         bdata = BoundaryData()
     out = P
     for axis in range(cfg.ndim):
-        out = _pad_axis(out, cfg, axis, bdata)
+        out = _pad_axis(out, cfg, axis, bdata, t=t)
     return out
 
 

@@ -8,3 +8,14 @@ from .shocktube import brio_wu, shocktube, toro_tests  # noqa: F401
 from .blast import blast_wave  # noqa: F401
 from .advection import advection_pulse  # noqa: F401
 from .mhd2d import field_loop, orszag_tang  # noqa: F401
+from .problems import (  # noqa: F401
+    add_noise,
+    double_mach_reflection,
+    jet_ambient,
+    jet_state,
+    kelvin_helmholtz,
+    liska_wendroff_implosion,
+    random_clumps,
+    shock_cloud,
+    spherical_clump,
+)

@@ -50,7 +50,7 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
     RT_all_sources -> calc_microphysics_dU -> calc_dynamics_dU).
     Returns the advanced primitive state (the reference writes it into Ph,
     then copies to P on the final step)."""
-    Ppad = apply_bcs(Ph, cfg, bdata)
+    Ppad = apply_bcs(Ph, cfg, bdata, t=t)
     dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
     if physics is not None and physics.mp is not None:
         dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)

@@ -1,0 +1,119 @@
+"""Classic 2D test problems: DMR, KH, implosion, jet, shock-cloud.
+
+These mirror the reference's test_problems suite gates (SURVEY.md §4):
+stability, symmetry and qualitative structure.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pion_tpu import Eqn, SimConfig, Simulation
+from pion_tpu.boundaries import BoundaryData
+from pion_tpu.constants import PG, RO, VX
+from pion_tpu.ics import (
+    double_mach_reflection,
+    jet_ambient,
+    jet_state,
+    kelvin_helmholtz,
+    liska_wendroff_implosion,
+    shock_cloud,
+)
+
+
+def test_double_mach_reflection():
+    n = 64
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.EULER, solver="hll", gamma=1.4,
+        shape=(n // 4, n), xmin=(0.0, 0.0), xmax=(1.0, 4.0),
+        bcs=(("dmach2", "dmach"), ("fixed", "outflow")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.05,
+    )
+    P0 = double_mach_reflection(cfg)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # shock has advanced: peak density above the planar post-shock value
+    # (the Mach stem produces rho > 8)
+    assert out[RO].max() > 10.0
+    assert out[RO].min() > 1.0
+
+
+def test_kelvin_helmholtz_grows():
+    n = 64
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.EULER, solver="hll", gamma=1.4,
+        shape=(n, n), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+        bcs=(("periodic", "periodic"), ("periodic", "periodic")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=2.0,
+    )
+    P0 = kelvin_helmholtz(cfg, amp=0.02)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # transverse kinetic energy must grow from the seeded perturbation
+    ke0 = 0.5 * (P0[RO] * P0[3] ** 2).mean()
+    ke1 = 0.5 * (out[RO] * out[3] ** 2).mean()
+    assert ke1 > 3.0 * ke0
+
+
+def test_liska_wendroff_symmetry():
+    n = 64
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.EULER, solver="exact", gamma=1.4,
+        shape=(n, n), xmin=(0.0, 0.0), xmax=(0.3, 0.3),
+        bcs=(("reflecting", "reflecting"), ("reflecting", "reflecting")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.5,
+    )
+    P0 = liska_wendroff_implosion(cfg)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run(max_steps=300)
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # the solution must stay symmetric under (x,y) -> (y,x):
+    # rho(i,j) == rho(j,i) and vx(i,j) == vy(j,i)
+    np.testing.assert_allclose(out[RO], out[RO].T, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(out[2], out[3].T, rtol=1e-8, atol=1e-11)
+
+
+def test_jet_propagates():
+    n = 64
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.EULER, solver="hll", gamma=1.4, ntracer=1,
+        shape=(n // 2, n), xmin=(0.0, 0.0), xmax=(1.0, 2.0),
+        bcs=(("reflecting", "outflow"), ("jet", "outflow")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.12,
+    )
+    P0 = jet_ambient(cfg)
+    js = jet_state(cfg, rho_jet=1.0, p_jet=1.0, v_jet=10.0)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    # inject the jet through the BC
+    sim.bdata = BoundaryData(fixed=sim.bdata.fixed, jet=(0.1, js))
+    sim.fns = __import__("pion_tpu.stepper", fromlist=["make_step_fns"]).\
+        make_step_fns(cfg, sim.geom, sim.bdata)
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # jet tracer has propagated into the domain
+    tr = out[cfg.eqn.nbase]
+    x = cfg.cell_centers(1)
+    jet_extent = x[np.argmax(np.max(tr, axis=0) > 0.5 * tr.max())]
+    assert tr.max() > 0.5
+    assert np.max(tr[:, n // 4 :]) > 0.1, "jet did not propagate"
+
+
+def test_shock_cloud():
+    n = 64
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.EULER, solver="hll", gamma=1.4, ntracer=1,
+        shape=(n // 2, n), xmin=(0.0, 0.0), xmax=(0.5, 1.0),
+        bcs=(("outflow", "outflow"), ("inflow", "outflow")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.06,
+    )
+    P0 = shock_cloud(cfg, mach=10.0, cloud_center=(0.25, 0.5), r_cloud=0.1)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    # the cloud is being compressed: max density above both initial values
+    assert out[RO].max() > 1.05 * P0[RO].max()
