@@ -6,3 +6,4 @@ Module registry mirrors the reference dispatch
 from .mpv3 import MPv3, MPv3Config  # noqa: F401
 from .cooling import MPOnlyCooling, MPv8  # noqa: F401
 from .mpv7 import MPv7  # noqa: F401
+from .variants import MPv5, MPv6  # noqa: F401

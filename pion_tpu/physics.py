@@ -9,6 +9,8 @@ time_integrator.cpp:253-470 calc_microphysics_dU).
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -77,7 +79,24 @@ class Physics:
                 rt.update(tau0=tau, ds=ds, vshell=vshell,
                           n_idot=src.strength)
             else:  # uv_heating (Henney+09 A3/A6 attenuation; /1.2e7 norm)
-                flux = src.strength * ds / vshell
+                if src.at_infinity:
+                    # diffuse field: solid-angle weighted
+                    # (reference: MPv3::setup_diffuse_RT_angle, :585-640)
+                    cfg = self.raytracer.cfg
+                    from .constants import Coord
+
+                    if cfg.ndim == 3:
+                        angle = 4.0 * np.pi / 6.0
+                    elif cfg.ndim == 2 and cfg.coords is Coord.CYLINDRICAL:
+                        angle = (16.0 * np.pi / 6.0 if src.axis == 0
+                                 else 4.0 * np.pi / 6.0)
+                    elif cfg.ndim == 2:
+                        angle = 2.0 * np.pi / 4.0
+                    else:
+                        angle = 1.0
+                    flux = src.strength * angle
+                else:
+                    flux = src.strength * ds / vshell
                 uv = flux * jnp.exp(-1.90 * tau)
                 ir = flux * jnp.exp(-0.05 * tau)
                 g0_uv = uv if g0_uv is None else g0_uv + uv

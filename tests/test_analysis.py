@@ -1,0 +1,83 @@
+"""Analysis-tool tests: projection geometry and exports."""
+import numpy as np
+import jax.numpy as jnp
+
+from pion_tpu import Coord, Eqn, SimConfig
+from pion_tpu.analysis import project_axisymmetric, project_3d, to_ascii, to_vtk
+from pion_tpu.analysis.projection import abel_weights
+from pion_tpu.constants import K_B, M_P, PG, RO
+from pion_tpu.microphysics import MPv5, MPv6, MPv3Config
+
+
+def test_abel_weights_uniform_sphere():
+    """Projecting a uniform emissivity sphere of radius a gives the chord
+    2*sqrt(a^2-b^2)."""
+    n = 128
+    dR = 1.0 / n
+    R = (np.arange(n) + 0.5) * dR
+    W = abel_weights(R, dR)
+    a = 0.7
+    j = (R < a).astype(float)
+    proj = W @ j
+    expected = 2.0 * np.sqrt(np.maximum(a * a - R * R, 0.0))
+    sel = R < 0.6
+    np.testing.assert_allclose(proj[sel], expected[sel], atol=2 * dR)
+
+
+def test_project_axisymmetric_shapes():
+    n = 32
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, coords=Coord.CYLINDRICAL,
+                    ntracer=1, shape=(n, n), xmin=(0.0, 0.0),
+                    xmax=(3.0e18, 3.0e18),
+                    bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")))
+    P = np.zeros((cfg.nvar, n, n))
+    nH = 100.0
+    P[RO] = nH * M_P / 0.7297
+    P[PG] = 2.2 * nH * K_B * 1.0e4
+    P[5] = 1.0
+    imgs = project_axisymmetric(jnp.asarray(P), cfg,
+                                quantities=("em", "halpha", "nii", "xray"))
+    for q, img in imgs.items():
+        assert img.shape == (n, n)
+        assert np.all(np.isfinite(np.asarray(img)))
+        assert np.asarray(img).max() > 0.0
+
+
+def test_project_3d():
+    cfg = SimConfig(ndim=3, eqn=Eqn.EULER, shape=(8, 8, 8),
+                    xmin=(0.0,) * 3, xmax=(3.0e18,) * 3,
+                    bcs=(("outflow", "outflow"),) * 3)
+    P = np.zeros((cfg.nvar, 8, 8, 8))
+    P[RO] = 100.0 * M_P
+    P[PG] = 220.0 * K_B * 1.0e4
+    imgs = project_3d(jnp.asarray(P), cfg)
+    assert imgs["em"].shape == (8, 8)
+
+
+def test_exports(tmp_path):
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, shape=(8, 8), xmin=(0.0, 0.0),
+                    xmax=(1.0, 1.0), bcs=(("outflow", "outflow"),) * 2)
+    P = np.random.default_rng(0).random((cfg.nvar, 8, 8)) + 1.0
+    p1 = to_ascii(str(tmp_path / "snap.txt"), P, cfg)
+    data = np.loadtxt(p1)
+    assert data.shape == (64, 2 + cfg.nvar)
+    p2 = to_vtk(str(tmp_path / "snap"), P, cfg)
+    txt = open(p2).read()
+    assert "STRUCTURED_POINTS" in txt and "SCALARS rho" in txt
+
+
+def test_mpv5_mpv6_instantiate():
+    mp6 = MPv6(MPv3Config(tracer_slot=5))
+    assert mp6.mpc.metallicity == 0.0
+    assert mp6.mpc.n_elec == 1.0
+    mp5 = MPv5(MPv3Config(tracer_slot=5))
+    # both produce finite rates on a simple state
+    cfg = SimConfig(ndim=1, eqn=Eqn.EULER, ntracer=1, shape=(4,),
+                    xmin=(0.0,), xmax=(1.0,), bcs=(("outflow", "outflow"),))
+    P = np.zeros((cfg.nvar, 4))
+    P[RO] = 100.0 * mp5.mpc.mean_mass_per_h
+    P[PG] = 220.0 * K_B * 1.0e3
+    P[5] = 0.5
+    for mp in (mp5, mp6):
+        out = mp.update(jnp.asarray(P), 3.0e7, cfg)
+        assert np.all(np.isfinite(np.asarray(out)))
