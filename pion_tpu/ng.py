@@ -168,33 +168,36 @@ class NGHierarchy:
         1989; reference: NG_BC89flux.cpp recv_BC89_fluxes_F2C)."""
         cfg = self.cfgs[level]
         nd = cfg.ndim
-        ng4 = [cfg.shape[ax] // 4 for ax in range(nd)]
         for ax in range(nd):
-            q = ng4[ax]
-            n = cfg.shape[ax]
-            F = coarse_faces[ax]           # (nvar, ..., n+1) sweep axis last
+            q = cfg.shape[ax] // 4
+            F = coarse_faces[ax]   # (nvar, *spatial) with n+1 along axis ax
             Ff_lo, Ff_hi = fine_face_sums[ax]   # restricted fine fluxes
             g = self.geoms[level].axes[ax]
             cn = jnp.asarray(g.div_cn)
             cp = jnp.asarray(g.div_cp)
+
+            # full-rank index helper: transverse window covered by the fine
+            # grid ([n/4,3n/4) on every transverse axis), position i on ax
+            def widx(i):
+                sl = [slice(None)]
+                for bx in range(nd):
+                    if bx == ax:
+                        sl.append(i)
+                    else:
+                        sl.append(slice(cfg.shape[bx] // 4,
+                                        3 * cfg.shape[bx] // 4))
+                return tuple(sl)
+
             # coarse interface q is the fine grid's low boundary; the coarse
             # cell OUTSIDE is q-1 (this is its HIGH face, coefficient cp):
             # dudt = cn*f_lo - cp*f_hi, so swapping the coarse flux for the
             # fine one adds cp*(F_coarse - F_fine).  At the high boundary
-            # (interface 3q) the outside cell is 3q and the face is its LOW
-            # face (coefficient cn) with the opposite sign.
-            # only the transverse window covered by the fine grid is
-            # corrected: [n/4, 3n/4) on every transverse axis
-            tsl = tuple(
-                slice(cfg.shape[bx] // 4, 3 * cfg.shape[bx] // 4)
-                for bx in range(nd) if bx != ax)
-            win = (slice(None),) + tsl
-            corr_lo = F[win + (q,)] - Ff_lo
-            corr_hi = F[win + (3 * q,)] - Ff_hi
-            dUm = jnp.moveaxis(dU, 1 + ax, -1)
-            dUm = dUm.at[win + (q - 1,)].add(dt * cp[q - 1] * corr_lo)
-            dUm = dUm.at[win + (3 * q,)].add(-dt * cn[3 * q] * corr_hi)
-            dU = jnp.moveaxis(dUm, -1, 1 + ax)
+            # (interface 3q) the outside cell is 3q and its LOW face gets
+            # the opposite sign.
+            corr_lo = F[widx(q)] - Ff_lo
+            corr_hi = F[widx(3 * q)] - Ff_hi
+            dU = dU.at[widx(q - 1)].add(dt * cp[q - 1] * corr_lo)
+            dU = dU.at[widx(3 * q)].add(-dt * cn[3 * q] * corr_hi)
         return dU
 
     def _restrict_face_flux(self, Ff, ax, cfg_f):
@@ -286,9 +289,11 @@ class NGHierarchy:
             return None
         out = []
         for ax in range(cfg.ndim):
-            F = faces[ax]
-            lo = self._restrict_face_flux(F[..., 0], ax, cfg)
-            hi = self._restrict_face_flux(F[..., -1], ax, cfg)
+            F = faces[ax]  # n+1 interfaces along array axis 1+ax
+            lo = self._restrict_face_flux(
+                jnp.take(F, 0, axis=1 + ax), ax, cfg)
+            hi = self._restrict_face_flux(
+                jnp.take(F, F.shape[1 + ax] - 1, axis=1 + ax), ax, cfg)
             out.append((lo, hi))
         return out
 

@@ -9,18 +9,24 @@ whole-array shifted-slice computation — slopes, edge states, Riemann fluxes
 and source terms are all dense vector ops that XLA fuses and tiles onto the
 VPU, with the fast (lane) dimension riding the innermost grid axis.
 
+All per-axis work uses shifted SLICES in the axis's natural position — no
+transposes: a physical relayout of a 128^3x10 f32 state costs ~5 ms/axis on
+a v5e, which dominated an 84 ms step before this layout-preserving rewrite.
+
 ``dynamics_dU`` returns the *accumulated conserved increment* dt*(-div F + S)
 for interior cells, plus the per-axis face fluxes (for Berger-Colella 1989
-flux correction between refinement levels).
+flux correction between refinement levels), with each flux array keeping the
+sweep axis in its natural position (length n+1 there).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
-from ..constants import BX, BY, BZ, PG, RO, SI, VX, VY, VZ, AV, Eqn, Solver
+from ..constants import BX, BY, BZ, PG, RO, SI, VX, VY, VZ, AV, Coord, Eqn, Solver
 from ..grid import Geometry
 from . import riemann_hydro as rh
 from . import riemann_mhd as rm
@@ -29,19 +35,24 @@ from .eqns import (
     cons_to_prim,
     inverse_perm,
     maxspeed,
+    prim_to_cons,
     sweep_perm,
 )
-from .recon import edge_states, limited_slopes
+from .recon import van_albada
 
 
-def _move_axis_last(A: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Move spatial ``axis`` (0-based, array order) to the last position.
-    Variable index stays at axis 0."""
-    return jnp.moveaxis(A, 1 + axis, -1)
+def _slab(A, ax: int, lo: int, hi: Optional[int]):
+    """A[..., lo:hi, ...] along array axis ``ax`` (hi=None means to end;
+    negative hi counts from the end)."""
+    idx = [slice(None)] * A.ndim
+    idx[ax] = slice(lo, hi)
+    return A[tuple(idx)]
 
 
-def _restore_axis(A: jnp.ndarray, axis: int) -> jnp.ndarray:
-    return jnp.moveaxis(A, -1, 1 + axis)
+def _bcast(v, axis: int, ndim: int):
+    """Reshape a 1D per-cell array so it broadcasts along spatial ``axis``
+    of a (nvar, *spatial) array."""
+    return jnp.asarray(v).reshape((1,) * (1 + axis) + (-1,) + (1,) * (ndim - 1 - axis))
 
 
 def _interior(A: jnp.ndarray, cfg: SimConfig, skip_axis: Optional[int] = None):
@@ -53,33 +64,42 @@ def _interior(A: jnp.ndarray, cfg: SimConfig, skip_axis: Optional[int] = None):
     return A[tuple(sl)]
 
 
-def _reconstruct(Pm, cfg: SimConfig, geom: Geometry, axis: int, order: int):
-    """Slopes + edge states along the (last-moved) sweep axis.
+def _reconstruct(Pt, cfg: SimConfig, geom: Geometry, axis: int, order: int,
+                 eff_axis: int = None):
+    """Slopes + edge states along the sweep axis.
 
-    Returns (Pl, Pr, slope_c): the left/right states at the N+1 interfaces
-    bounding the N interior cells, and the slope of each interior cell
-    (needed by the geometric source terms).
+    ``Pt`` is padded along the sweep axis only; ``eff_axis`` is the axis's
+    position in Pt's layout (the caller may have moved it last so XLA fuses
+    the elementwise pipeline over a contiguous minor dimension).  Geometry
+    is keyed by the logical ``axis``.  Returns (Pl, Pr, slope_c).
     """
+    eff_axis = axis if eff_axis is None else eff_axis
     g = geom.axes[axis]
     ng = cfg.ng
     n = cfg.shape[axis]
+    ax = 1 + eff_axis
+    nd = cfg.ndim
     if order == 1:
         # Piecewise-constant (reference: VectorOps.cpp:587-589 with OA1)
-        Pl = Pm[..., ng - 1 : ng + n]
-        Pr = Pm[..., ng : ng + n + 1]
-        slope_c = jnp.zeros_like(Pm[..., ng : ng + n])
+        Pl = _slab(Pt, ax, ng - 1, ng + n)
+        Pr = _slab(Pt, ax, ng, ng + n + 1)
+        slope_c = jnp.zeros_like(_slab(Pt, ax, ng, ng + n))
         return Pl, Pr, slope_c
-    com = jnp.asarray(g.com)
-    slopes = limited_slopes(Pm, com)          # cells [1 .. Npad-1)
-    cells = Pm[..., 1:-1]
-    lo, hi = edge_states(
-        cells, slopes, jnp.asarray(g.del_n[1:-1]), jnp.asarray(g.del_p[1:-1])
-    )
+    com = _bcast(g.com, eff_axis, nd)
+    d = _slab(Pt, ax, 1, None) - _slab(Pt, ax, 0, -1)
+    h = _slab(com, ax, 1, None) - _slab(com, ax, 0, -1)
+    one_sided = d / h
+    slopes = van_albada(_slab(one_sided, ax, 0, -1), _slab(one_sided, ax, 1, None))
+    cells = _slab(Pt, ax, 1, -1)
+    del_n = _slab(_bcast(g.del_n, eff_axis, nd), ax, 1, -1)
+    del_p = _slab(_bcast(g.del_p, eff_axis, nd), ax, 1, -1)
+    lo = cells + slopes * del_n
+    hi = cells + slopes * del_p
     # interface i+1/2 between padded cells (c, c+1):
     #   left state = hi-face state of c, right = lo-face state of c+1
-    Pl = hi[..., ng - 2 : ng + n - 1]
-    Pr = lo[..., ng - 1 : ng + n]
-    slope_c = slopes[..., ng - 1 : ng + n - 1]
+    Pl = _slab(hi, ax, ng - 2, ng + n - 1)
+    Pr = _slab(lo, ax, ng - 1, ng + n)
+    slope_c = _slab(slopes, ax, ng - 1, ng + n - 1)
     return Pl, Pr, slope_c
 
 
@@ -97,9 +117,7 @@ def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta):
             return rh.hll(Pl_r, Pr_r, cfg)
         if s is Solver.RCV:
             return rh.roe_cv(Pl_r, Pr_r, cfg, hc_eta)
-        if s is Solver.RPV:
-            return rh.linear_pv(Pl_r, Pr_r, cfg)
-        if s is Solver.LINEAR:
+        if s in (Solver.RPV, Solver.LINEAR):
             return rh.linear_pv(Pl_r, Pr_r, cfg)
         if s is Solver.EXACT:
             return rh.exact(Pl_r, Pr_r, cfg)
@@ -110,7 +128,8 @@ def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta):
         raise ValueError(f"unsupported hydro solver {s}")
     # MHD / GLM
     if s is Solver.LF:
-        return rm_to_pstar(rm_lf(Pl_r, Pr_r, cfg, dx_over_dt), cfg)
+        f, p = rh.lax_friedrichs(Pl_r, Pr_r, cfg, dx_over_dt)
+        return f, p
     if s is Solver.HLL:
         return rm_to_pstar(rm.hll(Pl_r, Pr_r, cfg), cfg)
     if s is Solver.HLLD:
@@ -120,13 +139,6 @@ def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta):
     if s in (Solver.LINEAR, Solver.EXACT, Solver.HYBRID, Solver.RPV):
         return rm_to_pstar(rm.linear(Pl_r, Pr_r, cfg), cfg)
     raise ValueError(f"unsupported MHD solver {s}")
-
-
-def rm_lf(Pl, Pr, cfg, dx_over_dt):
-    f, p = rh.lax_friedrichs(Pl, Pr, cfg, dx_over_dt)
-    from .eqns import prim_to_cons
-
-    return f, prim_to_cons(p, cfg)
 
 
 def rm_to_pstar(fu, cfg):
@@ -169,27 +181,30 @@ def _av_falle(flux, Pl, Pr, pstar, cfg: SimConfig):
 def calc_hcorr_eta(Ph_pad, cfg: SimConfig, geom: Geometry, order: int):
     """Per-cell, per-axis H-correction eta at each cell's positive face
     (Sanders, Morano & Druguet 1998 eq. 10; reference:
-    solver_eqn_base.cpp:423-599).  Returns a list of padded arrays."""
+    solver_eqn_base.cpp:423-599).  Returns a list of padded arrays
+    (no variable axis)."""
     etas = []
     for axis in range(cfg.ndim):
-        Pm = _move_axis_last(Ph_pad, axis)
+        ax = 1 + axis
         perm = sweep_perm(cfg, axis)
-        n_all = Pm.shape[-1] - 1  # interfaces in the padded column
         g = geom.axes[axis]
+        nd = cfg.ndim
         if order == 1:
-            el = Pm[..., :-1]
-            er = Pm[..., 1:]
+            el = _slab(Ph_pad, ax, 0, -1)
+            er = _slab(Ph_pad, ax, 1, None)
         else:
-            com = jnp.asarray(g.com)
-            slopes = limited_slopes(Pm, com)
-            z = jnp.zeros_like(Pm[..., :1])
-            slopes_full = jnp.concatenate([z, slopes, z], axis=-1)
-            cells = Pm
-            lo, hi = edge_states(
-                cells, slopes_full, jnp.asarray(g.del_n), jnp.asarray(g.del_p)
-            )
-            el = hi[..., :-1]
-            er = lo[..., 1:]
+            com = _bcast(g.com, axis, nd)
+            d = _slab(Ph_pad, ax, 1, None) - _slab(Ph_pad, ax, 0, -1)
+            h = _slab(com, ax, 1, None) - _slab(com, ax, 0, -1)
+            one_sided = d / h
+            slopes = van_albada(_slab(one_sided, ax, 0, -1),
+                                _slab(one_sided, ax, 1, None))
+            z = jnp.zeros_like(_slab(Ph_pad, ax, 0, 1))
+            slopes_full = jnp.concatenate([z, slopes, z], axis=ax)
+            lo = Ph_pad + slopes_full * _bcast(g.del_n, axis, nd)
+            hi = Ph_pad + slopes_full * _bcast(g.del_p, axis, nd)
+            el = _slab(hi, ax, 0, -1)
+            er = _slab(lo, ax, 1, None)
         el_r = el[perm]
         er_r = er[perm]
         eta = 0.5 * (
@@ -197,45 +212,34 @@ def calc_hcorr_eta(Ph_pad, cfg: SimConfig, geom: Geometry, order: int):
             + jnp.abs(maxspeed(er_r, cfg) - maxspeed(el_r, cfg))
         )
         # store at the cell owning the positive face; pad the last cell
-        pad = jnp.zeros_like(eta[..., :1])
-        eta_cells = jnp.concatenate([eta, pad], axis=-1)  # no variable axis
-        etas.append(jnp.moveaxis(eta_cells, -1, axis))
+        pad = jnp.zeros_like(_slab(eta[None], ax, 0, 1)[0])
+        etas.append(jnp.concatenate([eta, pad], axis=axis))
     return etas
 
 
 def _select_hcorr_eta(etas, cfg: SimConfig, axis: int, n: int):
     """Max eta over the H-stencil of each interface along ``axis``
-    (reference: solver_eqn_base.cpp:608-678, Sanders et al. 1998 fig. 9):
-    the interface's own eta plus, on every transverse axis, the etas of the
-    two adjacent cells and of their negative-side neighbours.  Returns an
-    interface array (interior transverse dims, n+1 along the sweep axis)."""
+    (reference: solver_eqn_base.cpp:608-678, Sanders et al. 1998 fig. 9).
+    Returns an interface array (interior transverse dims, n+1 along axis)."""
     ng = cfg.ng
 
-    def sweep_iface(cells):
-        """padded cell array (no var axis) -> sweep axis last, transverse
-        axes sliced to the interior."""
-        m = jnp.moveaxis(cells, axis, -1)
-        if cfg.ndim > 1:
-            m = m[(slice(ng, -ng),) * (cfg.ndim - 1) + (slice(None),)]
-        return m
+    def interior_t(cells):
+        sl = [slice(ng, -ng) if a != axis else slice(None)
+              for a in range(cfg.ndim)]
+        return cells[tuple(sl)]
 
-    eta_ax = sweep_iface(etas[axis])
-    eta = eta_ax[..., ng - 1 : ng + n]  # eta stored at the cell's + face
+    eta_ax = interior_t(etas[axis])
+    eta = _slab(eta_ax[None], 1 + axis, ng - 1, ng + n)[0]
     for p in range(cfg.ndim):
         if p == axis:
             continue
         ep = etas[p]
-        # include each cell's own transverse eta and its negative-neighbour's
-        ep_nm = jnp.concatenate(
-            [ep.take(jnp.array([0]), axis=p), ep[
-                tuple(slice(None) if a != p else slice(0, -1) for a in range(cfg.ndim))
-            ]],
-            axis=p,
-        )
-        m = jnp.maximum(ep, ep_nm)
-        mm = sweep_iface(m)
-        eta = jnp.maximum(eta, mm[..., ng - 1 : ng + n])  # cell cl
-        eta = jnp.maximum(eta, mm[..., ng : ng + n + 1])  # cell cr
+        first = _slab(ep[None], 1 + p, 0, 1)[0]
+        ep_nm = jnp.concatenate([first, _slab(ep[None], 1 + p, 0, -1)[0]],
+                                axis=p)
+        m = interior_t(jnp.maximum(ep, ep_nm))
+        eta = jnp.maximum(eta, _slab(m[None], 1 + axis, ng - 1, ng + n)[0])
+        eta = jnp.maximum(eta, _slab(m[None], 1 + axis, ng, ng + n + 1)[0])
     return eta
 
 
@@ -253,13 +257,10 @@ def dynamics_dU(
     axis (boundary conditions already applied).  ``order`` is the spatial
     order for this partial step (1 on the predictor half-step, cfg.ooa on the
     corrector — reference: time_integrator.cpp:151-243).
-
-    Returns ``(dU, face_fluxes)`` where face_fluxes[axis] has the N+1
-    interface fluxes along that axis (interior transverse extent), used by
-    the nested-grid BC89 flux correction.
     """
     ng = cfg.ng
     dx = geom.dx
+    nd = cfg.ndim
     glm = cfg.eqn is Eqn.GLM
     if glm and ch is None:
         # hyperbolic cleaning speed c_h = cfl*dx/t_dyn; the driver passes the
@@ -273,12 +274,19 @@ def dynamics_dU(
 
     dU = None
     face_fluxes: List[jnp.ndarray] = []
-    for axis in range(cfg.ndim):
+    for axis in range(nd):
         n = cfg.shape[axis]
-        # interior on transverse axes only, then sweep axis last
+        # interior on transverse axes only; sweep axis stays padded.
+        # Hybrid layout: for non-minor axes one explicit transpose puts the
+        # sweep axis last, so the whole elementwise Riemann pipeline runs
+        # over the contiguous minor dimension (measured faster on TPU than
+        # strided slices along a middle axis).
         Pt = _interior(Ph_pad, cfg, skip_axis=axis)
-        Pm = _move_axis_last(Pt, axis)
-        Pl, Pr, slope_c = _reconstruct(Pm, cfg, geom, axis, order)
+        eff = nd - 1
+        if axis != nd - 1:
+            Pt = jnp.moveaxis(Pt, 1 + axis, -1)
+        ax = 1 + eff
+        Pl, Pr, slope_c = _reconstruct(Pt, cfg, geom, axis, order, eff)
 
         perm = sweep_perm(cfg, axis)
         inv = inverse_perm(perm)
@@ -320,25 +328,23 @@ def dynamics_dU(
             flux_r = flux_r.at[tr].set(f_tr)
 
         flux = flux_r[inv]
-        face_fluxes.append(flux)
 
         # -div(F): per-axis divergence with metric coefficients
-        # (reference: VectorOps.cpp:624-644, :1215-1244, VectorOps_spherical.cpp:449-484)
+        # (reference: VectorOps.cpp:624-644, :1215-1244,
+        # VectorOps_spherical.cpp:449-484)
         g = geom.axes[axis]
-        cn = jnp.asarray(g.div_cn)
-        cp = jnp.asarray(g.div_cp)
-        dudt = cn * flux[..., :-1] - cp * flux[..., 1:]
+        cn = _bcast(g.div_cn, eff, nd)
+        cp = _bcast(g.div_cp, eff, nd)
+        dudt = cn * _slab(flux, ax, 0, -1) - cp * _slab(flux, ax, 1, None)
 
-        Pc = Pm[..., ng : ng + n]  # interior cells, sweep axis last
+        Pc = _slab(Pt, ax, ng, ng + n)  # interior cells
 
         # Geometric source on the radial axis
         # (reference: solver_eqn_hydro_adi.cpp:560-707)
         if g.is_radial:
-            k_norm = VX + (cfg.ndim - 1 - axis)
-            pos_c = jnp.asarray(g.pos[ng : ng + n])
-            com_c = jnp.asarray(g.com[ng : ng + n])
-            from ..constants import Coord
-
+            k_norm = VX + (nd - 1 - axis)
+            pos_c = _bcast(g.pos[ng : ng + n], eff, nd)[0]
+            com_c = _bcast(g.com[ng : ng + n], eff, nd)[0]
             if cfg.coords is Coord.CYLINDRICAL:
                 if order == 1:
                     src = Pc[PG] / pos_c
@@ -349,19 +355,20 @@ def dynamics_dU(
                 if order == 1:
                     src = 2.0 * Pc[PG] / r3
                 else:
-                    src = 2.0 * ((Pc[PG] - slope_c[PG] * com_c) / r3 + slope_c[PG])
+                    src = 2.0 * ((Pc[PG] - slope_c[PG] * com_c) / r3
+                                 + slope_c[PG])
             dudt = dudt.at[k_norm].add(src)
 
         # Powell 8-wave source terms (MHD; reference:
         # solver_eqn_mhd_adi.cpp:396-443): dU_i -= (d<Bn>/dx) * S_i
         if cfg.eqn.is_mhd:
-            k = cfg.ndim - 1 - axis
-            bn = Pm[BX + k]  # sweep-normal B at cells, padded along sweep axis
-            bm = 0.5 * (bn[..., ng - 1 : ng + n] + bn[..., ng : ng + n + 1])
-            dbm = (bm[..., :-1] - bm[..., 1:]) / dx  # (bm_lo - bm_hi)/dx
-            udotb = (
-                Pc[VX] * Pc[BX] + Pc[VY] * Pc[BY] + Pc[VZ] * Pc[BZ]
-            )
+            k = nd - 1 - axis
+            bn = Pt[BX + k]  # padded along sweep axis; spatial axis = `axis`
+            bm = 0.5 * (_slab(bn[None], ax, ng - 1, ng + n)[0]
+                        + _slab(bn[None], ax, ng, ng + n + 1)[0])
+            dbm = (_slab(bm[None], ax, 0, -1)[0]
+                   - _slab(bm[None], ax, 1, None)[0]) / dx
+            udotb = Pc[VX] * Pc[BX] + Pc[VY] * Pc[BY] + Pc[VZ] * Pc[BZ]
             dudt = dudt.at[VX].add(dbm * Pc[BX])
             dudt = dudt.at[VY].add(dbm * Pc[BY])
             dudt = dudt.at[VZ].add(dbm * Pc[BZ])
@@ -372,14 +379,20 @@ def dynamics_dU(
             if glm:
                 # GLM advective psi source (reference:
                 # solver_eqn_mhd_adi.cpp:782-813)
-                psi = Pm[SI]
-                sm = 0.5 * (psi[..., ng - 1 : ng + n] + psi[..., ng : ng + n + 1])
-                dsm = (sm[..., :-1] - sm[..., 1:]) / dx
+                psi = Pt[SI]
+                sm = 0.5 * (_slab(psi[None], ax, ng - 1, ng + n)[0]
+                            + _slab(psi[None], ax, ng, ng + n + 1)[0])
+                dsm = (_slab(sm[None], ax, 0, -1)[0]
+                       - _slab(sm[None], ax, 1, None)[0]) / dx
                 vn = Pc[VX + k]
                 dudt = dudt.at[PG].add(dsm * vn * Pc[SI])
                 dudt = dudt.at[SI].add(dsm * vn)
 
-        contrib = _restore_axis(dt * dudt, axis)
+        if axis != nd - 1:
+            dudt = jnp.moveaxis(dudt, -1, 1 + axis)
+            flux = jnp.moveaxis(flux, -1, 1 + axis)
+        face_fluxes.append(flux)
+        contrib = dt * dudt
         dU = contrib if dU is None else dU + contrib
 
     return dU, face_fluxes
