@@ -23,15 +23,25 @@ def compare_states(A: np.ndarray, B: np.ndarray, relative: bool = True) -> Dict:
     B = np.asarray(B)
     assert A.shape == B.shape, f"shape mismatch {A.shape} vs {B.shape}"
     out = {}
+    # native threaded inner loop when available (silocompare.cpp equivalent)
+    from .. import native
+
+    norms = native.diff_norms(A, B)
     for v in range(A.shape[0]):
-        d = A[v] - B[v]
         scale = np.mean(np.abs(A[v])) if relative else 1.0
         scale = scale if scale > 0 else 1.0
         name = VAR_NAMES[v] if v < len(VAR_NAMES) else f"tr{v - len(VAR_NAMES)}"
+        if norms is not None:
+            l1, l2, mx = norms[v]
+        else:
+            d = A[v] - B[v]
+            l1 = np.mean(np.abs(d))
+            l2 = np.sqrt(np.mean(d * d))
+            mx = np.max(np.abs(d))
         out[name] = {
-            "L1": float(np.mean(np.abs(d)) / scale),
-            "L2": float(np.sqrt(np.mean(d * d)) / scale),
-            "max": float(np.max(np.abs(d)) / scale),
+            "L1": float(l1 / scale),
+            "L2": float(l2 / scale),
+            "max": float(mx / scale),
         }
     out["all_L1"] = max(m["L1"] for m in out.values() if isinstance(m, dict))
     out["all_max"] = max(m["max"] for m in out.values() if isinstance(m, dict))

@@ -45,11 +45,17 @@ def _cfg_from_json(s: str) -> SimConfig:
     return SimConfig(**d)
 
 
+_MAGIC = b"PTSNAP2\x00"
+
+
 def save_snapshot(path: str, P, cfg: SimConfig, t: float, step: int = 0,
                   extra: Optional[dict] = None) -> str:
-    """Write one snapshot; returns the final path (adds .npz if missing)."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
+    """Write one snapshot; returns the final path.
+
+    Fast path: the native multithreaded compressor (pion_tpu.native,
+    libsnapio.so — the PMPIO-writer equivalent); falls back to
+    numpy's savez_compressed when the native library is unavailable.
+    """
     header = {
         "format_version": FORMAT_VERSION,
         "config": _cfg_to_json(cfg),
@@ -58,20 +64,62 @@ def save_snapshot(path: str, P, cfg: SimConfig, t: float, step: int = 0,
     }
     if extra:
         header["extra"] = extra
-    arrays = {"P": np.asarray(P), "header": np.frombuffer(
+    P = np.asarray(P)
+
+    from .. import native
+
+    blob = native.compress(P)
+    if blob is not None:
+        if not path.endswith(".snap"):
+            path = path + ".snap"
+        header["dtype"] = str(P.dtype)
+        header["shape"] = list(P.shape)
+        hj = json.dumps(header).encode()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_MAGIC)
+            f.write(len(hj).to_bytes(8, "little"))
+            f.write(hj)
+            f.write(blob)
+        os.replace(tmp, path)  # atomic, like the checkpoint rotation
+        return path
+
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    arrays = {"P": P, "header": np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
-    os.replace(tmp, path)  # atomic like the reference's checkpoint rotation
+    os.replace(tmp, path)
     return path
 
 
 def load_snapshot(path: str) -> Tuple[SimConfig, np.ndarray, float, int]:
-    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    with np.load(path) as z:
-        header = json.loads(bytes(z["header"]).decode())
-        P = z["P"]
+    for suffix in ("", ".snap", ".npz"):
+        if os.path.exists(path + suffix):
+            path = path + suffix
+            break
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == _MAGIC:
+        from .. import native
+
+        with open(path, "rb") as f:
+            f.read(8)
+            hlen = int.from_bytes(f.read(8), "little")
+            header = json.loads(f.read(hlen).decode())
+            blob = f.read()
+        dtype = np.dtype(header["dtype"])
+        shape = tuple(header["shape"])
+        nbytes = dtype.itemsize * int(np.prod(shape))
+        raw = native.decompress(blob, nbytes)
+        if raw is None:
+            raise IOError(f"native decompress failed for {path}")
+        P = raw.view(dtype).reshape(shape)
+    else:
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode())
+            P = z["P"]
     cfg = _cfg_from_json(header["config"])
     return cfg, P, header["t"], header["step"]
