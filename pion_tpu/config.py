@@ -60,6 +60,9 @@ class SimConfig:
     glm_cr_factor: float = 0.25       # c_r = glm_cr_factor / dx_finest
 
     dtype: str = "float64"
+    # fused Pallas sweep path: "auto" (TPU backends only), "on", "off",
+    # or "interpret" (for CPU correctness tests)
+    pallas: str = "auto"
 
     # time control
     tmax: float = 1.0

@@ -1,0 +1,329 @@
+"""Fused Pallas sweep kernels for Cartesian grids.
+
+The XLA-level sweep (ops/sweep.py) materializes every pipeline stage —
+slopes, edge states, the ~40 HLLD intermediates, fluxes — as full-grid HBM
+arrays, so the step is HBM-bandwidth-bound far below roofline.  Here the
+whole per-axis pipeline (MUSCL reconstruction -> sweep-frame rotation ->
+GLM interface solve -> Riemann flux -> Falle AV -> tracer upwinding ->
+flux divergence + Powell/GLM sources) runs per VMEM tile inside one
+``pl.pallas_call``: one read of the state tile, one write of the dU tile,
+nothing else touches HBM.
+
+The tile math REUSES the same pure-jnp Riemann/eqns functions as the XLA
+path (they trace into the kernel unchanged), so both paths are numerically
+identical — verified by tests in interpret mode.
+
+Scope: Cartesian grids, no H-correction (it needs cross-axis stencils).
+Everything else falls back to ops/sweep.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SimConfig
+from ..constants import BX, PG, RO, SI, VX, AV, Coord, Eqn, Solver
+from ..grid import Geometry
+from .eqns import inverse_perm, sweep_perm
+from .recon import van_albada
+
+NG = 2  # ghost depth, matches SimConfig.ng
+
+
+def supports(cfg: SimConfig) -> bool:
+    """Pallas fast-path eligibility (everything else -> XLA sweep)."""
+    return (
+        cfg.coords is Coord.CARTESIAN
+        and cfg.ndim >= 2
+        and cfg.av in (AV.NONE, AV.FALLE)
+        and cfg.solver in (Solver.HLL, Solver.HLLD, Solver.LINEAR,
+                           Solver.RCV, Solver.RPV)
+    )
+
+
+def _upd(A, updates):
+    """Rebuild a channel-stacked array with some channels replaced.
+
+    ``A.at[i].set`` / fancy channel gathers lower to scatters/gathers whose
+    index arrays Pallas would have to capture as constants; a static stack
+    of per-channel slices keeps the kernel free of captured arrays."""
+    return jnp.stack([updates.get(i, A[i]) for i in range(A.shape[0])])
+
+
+def _permute(A, perm):
+    return jnp.stack([A[int(p)] for p in perm])
+
+
+def _av_falle_tile(flux, Pl, Pr, pstar, cfg: SimConfig):
+    """Falle AV with static channel updates (mirrors sweep._av_falle)."""
+    from ..constants import BY, BZ, VY, VZ
+    from .eqns import cfast_components, maxspeed
+
+    if cfg.eqn is Eqn.EULER:
+        pref = maxspeed(pstar, cfg) * cfg.etav * pstar[RO]
+    else:
+        pref = (cfast_components(
+            0.5 * (Pl[RO] + Pr[RO]), 0.5 * (Pl[PG] + Pr[PG]),
+            0.5 * (Pl[BX] + Pr[BX]), 0.5 * (Pl[BY] + Pr[BY]),
+            0.5 * (Pl[BZ] + Pr[BZ]), cfg.gamma) * cfg.etav * pstar[RO])
+    upd = {}
+    erg = jnp.zeros_like(pref)
+    for v in (VX, VY, VZ):
+        mv = pref * (Pr[v] - Pl[v])
+        upd[v] = flux[v] - mv
+        erg = erg + mv * pstar[v]
+    if cfg.eqn.is_mhd:
+        prefb = pref / pstar[RO]
+        for b in (BY, BZ):
+            mv = prefb * (Pr[b] - Pl[b])
+            upd[b] = flux[b] - mv
+            erg = erg + mv * pstar[b]
+    upd[PG] = flux[PG] - erg
+    return _upd(flux, upd)
+
+
+def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
+                    dx: float):
+    """Per-tile sweep math with the sweep axis LAST.
+
+    ``Pt``: (nvar, ..., N+2*NG).  Returns the dU contribution
+    (nvar, ..., N) = dt * (-dF/dx + Powell/GLM sources).
+    Identical formulas to ops/sweep.py's per-axis body, Cartesian metric.
+    """
+    from .sweep import _riemann
+
+    nd = cfg.ndim
+    n = Pt.shape[-1] - 2 * NG
+    glm = cfg.eqn is Eqn.GLM
+
+    if order == 1:
+        Pl = Pt[..., NG - 1 : NG + n]
+        Pr = Pt[..., NG : NG + n + 1]
+    else:
+        d = (Pt[..., 1:] - Pt[..., :-1]) / dx
+        slopes = van_albada(d[..., :-1], d[..., 1:])
+        cells = Pt[..., 1:-1]
+        lo = cells - slopes * (0.5 * dx)
+        hi = cells + slopes * (0.5 * dx)
+        Pl = hi[..., NG - 2 : NG + n - 1]
+        Pr = lo[..., NG - 1 : NG + n]
+
+    perm = sweep_perm(cfg, axis)
+    inv = inverse_perm(perm)
+    Pl_r = _permute(Pl, perm)
+    Pr_r = _permute(Pr, perm)
+
+    psistar = bxstar = None
+    if glm:
+        psistar = 0.5 * (Pl_r[SI] + Pr_r[SI] - (Pr_r[BX] - Pl_r[BX]))
+        bxstar = 0.5 * (Pl_r[BX] + Pr_r[BX] - (Pr_r[SI] - Pl_r[SI]))
+        zero = jnp.zeros_like(bxstar)
+        Pl_r = _upd(Pl_r, {SI: zero, BX: bxstar})
+        Pr_r = _upd(Pr_r, {SI: zero, BX: bxstar})
+
+    flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, None)
+
+    if glm:
+        flux_r = _upd(flux_r, {
+            PG: flux_r[PG] + ch * bxstar * psistar,
+            BX: ch * psistar,
+            SI: ch * bxstar,
+        })
+
+    if cfg.av is AV.FALLE:
+        flux_r = _av_falle_tile(flux_r, Pl_r, Pr_r, pstar, cfg)
+
+    if cfg.ntracer:
+        fm = flux_r[RO]
+        upd = {}
+        for v in range(cfg.eqn.nbase, cfg.nvar):
+            f_tr = jnp.where(fm > 0.0, Pl_r[v] * fm, Pr_r[v] * fm)
+            upd[v] = jnp.where(fm == 0.0, 0.0, f_tr)
+        flux_r = _upd(flux_r, upd)
+
+    flux = _permute(flux_r, inv)
+    dudt = (flux[..., :-1] - flux[..., 1:]) / dx
+
+    Pc = Pt[..., NG : NG + n]
+    if cfg.eqn.is_mhd:
+        from ..constants import BY, BZ, VY, VZ
+
+        k = nd - 1 - axis
+        bn = Pt[BX + k]
+        bm = 0.5 * (bn[..., NG - 1 : NG + n] + bn[..., NG : NG + n + 1])
+        dbm = (bm[..., :-1] - bm[..., 1:]) / dx
+        udotb = Pc[VX] * Pc[BX] + Pc[VY] * Pc[BY] + Pc[VZ] * Pc[BZ]
+        upd = {
+            VX: dudt[VX] + dbm * Pc[BX],
+            VY: dudt[VY] + dbm * Pc[BY],
+            VZ: dudt[VZ] + dbm * Pc[BZ],
+            BX: dudt[BX] + dbm * Pc[VX],
+            BY: dudt[BY] + dbm * Pc[VY],
+            BZ: dudt[BZ] + dbm * Pc[VZ],
+        }
+        pg_new = dudt[PG] + dbm * udotb
+        if glm:
+            psi = Pt[SI]
+            sm = 0.5 * (psi[..., NG - 1 : NG + n] + psi[..., NG : NG + n + 1])
+            dsm = (sm[..., :-1] - sm[..., 1:]) / dx
+            vn = Pc[VX + k]
+            pg_new = pg_new + dsm * vn * Pc[SI]
+            upd[SI] = dudt[SI] + dsm * vn
+        upd[PG] = pg_new
+        dudt = _upd(dudt, upd)
+
+    return dt * dudt
+
+
+def _pick_rows(n: int) -> int:
+    for b in (8, 4, 2, 1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def _pick_lanes(n: int) -> int:
+    for b in (256, 128, 64, 32):
+        if n % b == 0:
+            return b
+    return n
+
+
+def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
+                       dx: float, interpret: bool):
+    """Launch the fused kernel for one axis.  ``Pt`` is padded along the
+    sweep axis only (interior on transverse axes)."""
+    nvar = cfg.nvar
+    nd = cfg.ndim
+    n = cfg.shape[axis]
+    npad = n + 2 * NG
+    dt = jnp.asarray(dt, Pt.dtype)
+    ch_v = jnp.asarray(0.0 if ch is None else ch, Pt.dtype)
+
+    def kernel(dt_ref, ch_ref, p_ref, o_ref, sweep_last: bool):
+        dt_k = dt_ref[0]
+        ch_k = ch_ref[0]
+        if sweep_last:
+            # tile (nvar, 1?, S, L) with sweep on L
+            t = p_ref[...].reshape((nvar, -1, npad))
+            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx)
+            o_ref[...] = out.reshape(o_ref.shape)
+            return
+        # sweep axis in the sublane position.  Process one lane-row chunk
+        # at a time (static unroll) so only ~one chunk's worth of Riemann
+        # intermediates is live in VMEM at once.
+        if p_ref.ndim == 3:        # 2D y-sweep: (nvar, npad, bx)
+            chunks = [(slice(None),)]
+        elif p_ref.shape[1] == 1:  # 3D y-sweep: (nvar, 1, npad, bx)
+            chunks = [(0, slice(None))]
+        else:                      # 3D z-sweep: (nvar, npad, by, bx)
+            chunks = [(slice(None), j) for j in range(p_ref.shape[2])]
+        for c in chunks:
+            if p_ref.ndim == 3:
+                sub = p_ref[...]
+            elif p_ref.shape[1] == 1:
+                sub = p_ref[:, 0, :, :]
+            else:
+                sub = p_ref[:, :, c[1], :]
+            t = jnp.swapaxes(sub, -1, -2)              # (nvar, bx, npad)
+            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx)
+            out = jnp.swapaxes(out, -1, -2)            # (nvar, n, bx)
+            if p_ref.ndim == 3:
+                o_ref[...] = out
+            elif p_ref.shape[1] == 1:
+                o_ref[:, 0, :, :] = out
+            else:
+                o_ref[:, :, c[1], :] = out
+
+    if nd == 2:
+        ny, nx = cfg.shape
+        if axis == 1:  # x sweep: Pt (nvar, ny, nx+4)
+            by = _pick_rows(ny)
+            grid = (ny // by,)
+            in_spec = pl.BlockSpec((nvar, by, npad), lambda i: (0, i, 0))
+            out_spec = pl.BlockSpec((nvar, by, n), lambda i: (0, i, 0))
+            out_shape = jax.ShapeDtypeStruct((nvar, ny, n), Pt.dtype)
+            kfn = partial(kernel, sweep_last=True)
+        else:          # y sweep: Pt (nvar, ny+4, nx)
+            bx = _pick_lanes(nx)
+            grid = (nx // bx,)
+            in_spec = pl.BlockSpec((nvar, npad, bx), lambda i: (0, 0, i))
+            out_spec = pl.BlockSpec((nvar, n, bx), lambda i: (0, 0, i))
+            out_shape = jax.ShapeDtypeStruct((nvar, n, nx), Pt.dtype)
+            kfn = partial(kernel, sweep_last=False)
+    else:
+        nz, ny, nx = cfg.shape
+        if axis == 2:  # x sweep: Pt (nvar, nz, ny, nx+4)
+            by = _pick_rows(ny)
+            grid = (nz, ny // by)
+            in_spec = pl.BlockSpec((nvar, 1, by, npad), lambda i, j: (0, i, j, 0))
+            out_spec = pl.BlockSpec((nvar, 1, by, n), lambda i, j: (0, i, j, 0))
+            out_shape = jax.ShapeDtypeStruct((nvar, nz, ny, n), Pt.dtype)
+            kfn = partial(kernel, sweep_last=True)
+        elif axis == 1:  # y sweep: Pt (nvar, nz, ny+4, nx)
+            bx = _pick_lanes(nx)
+            grid = (nz, nx // bx)
+            in_spec = pl.BlockSpec((nvar, 1, npad, bx), lambda i, j: (0, i, 0, j))
+            out_spec = pl.BlockSpec((nvar, 1, n, bx), lambda i, j: (0, i, 0, j))
+            out_shape = jax.ShapeDtypeStruct((nvar, nz, n, nx), Pt.dtype)
+            kfn = partial(kernel, sweep_last=False)
+        else:          # z sweep: Pt (nvar, nz+4, ny, nx)
+            bx = _pick_lanes(nx)
+            by = _pick_rows(ny)  # second-to-last block dim must be 8-aligned
+            grid = (ny // by, nx // bx)
+            in_spec = pl.BlockSpec((nvar, npad, by, bx),
+                                   lambda i, j: (0, 0, i, j))
+            out_spec = pl.BlockSpec((nvar, n, by, bx),
+                                    lambda i, j: (0, 0, i, j))
+            out_shape = jax.ShapeDtypeStruct((nvar, n, ny, nx), Pt.dtype)
+            kfn = partial(kernel, sweep_last=False)
+
+    dt_a = dt.reshape(1)
+    ch_a = ch_v.reshape(1)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        # the HLLD pipeline keeps ~25 live interface arrays per tile; raise
+        # the scoped-VMEM budget above the 16 MiB default (v5e has 128 MiB)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kfn,
+        grid=grid,
+        in_specs=[smem, smem, in_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(dt_a, ch_a, Pt)
+
+
+def dynamics_dU_pallas(
+    Ph_pad: jnp.ndarray,
+    cfg: SimConfig,
+    geom: Geometry,
+    dt,
+    order: int,
+    ch=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-path dU (no face-flux output; NG hierarchies use the XLA path)."""
+    from .sweep import _interior
+
+    assert supports(cfg)
+    dx = geom.dx
+    if cfg.eqn is Eqn.GLM and ch is None:
+        ch = cfg.cfl * dx / dt
+    dU = None
+    for axis in range(cfg.ndim):
+        Pt = _interior(Ph_pad, cfg, skip_axis=axis)
+        contrib = _sweep_axis_pallas(Pt, cfg, axis, order, dt, ch, dx,
+                                     interpret)
+        dU = contrib if dU is None else dU + contrib
+    return dU

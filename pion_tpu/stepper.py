@@ -51,7 +51,21 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
     Returns the advanced primitive state (the reference writes it into Ph,
     then copies to P on the final step)."""
     Ppad = apply_bcs(Ph, cfg, bdata, t=t)
-    dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
+    dU = None
+    if cfg.pallas != "off":
+        from .ops import pallas_sweep
+
+        use = pallas_sweep.supports(cfg) and (
+            cfg.pallas in ("on", "interpret")
+            or (cfg.pallas == "auto"
+                and jax.default_backend() in ("tpu", "axon"))
+        )
+        if use:
+            dU = pallas_sweep.dynamics_dU_pallas(
+                Ppad, cfg, geom, dt, order_space, ch=ch,
+                interpret=(cfg.pallas == "interpret"))
+    if dU is None:
+        dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
     if physics is not None and physics.mp is not None:
         dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)
     Pnew = cell_advance(P, dU, cfg)

@@ -1,0 +1,52 @@
+"""Pallas fused-sweep correctness: interpret-mode vs the XLA path."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pion_tpu import Eqn, SimConfig, make_geometry
+from pion_tpu.boundaries import BoundaryData, apply_bcs
+from pion_tpu.ics.blast import blast_wave
+from pion_tpu.ops.pallas_sweep import dynamics_dU_pallas, supports
+from pion_tpu.ops.sweep import dynamics_dU
+
+
+@pytest.mark.parametrize("case", ["glm3d", "euler2d", "mhd2d"])
+def test_pallas_matches_xla(case):
+    if case == "glm3d":
+        cfg = SimConfig(ndim=3, eqn=Eqn.GLM, solver="hlld", ntracer=1,
+                        shape=(8, 8, 128), xmin=(0, 0, 0), xmax=(1, 1, 1),
+                        bcs=(("outflow", "outflow"),) * 3,
+                        av="falle", etav=0.1)
+        P0 = blast_wave(cfg, B0=(0.1, 0.05, 0.02))
+    elif case == "euler2d":
+        cfg = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", ntracer=0,
+                        shape=(16, 128), xmin=(0, 0), xmax=(1, 1),
+                        bcs=(("outflow", "outflow"),) * 2, av="none")
+        P0 = blast_wave(cfg)
+    else:
+        cfg = SimConfig(ndim=2, eqn=Eqn.MHD, solver="linear", ntracer=0,
+                        shape=(16, 128), xmin=(0, 0), xmax=(1, 1),
+                        bcs=(("outflow", "outflow"),) * 2, av="falle")
+        P0 = blast_wave(cfg, B0=(0.2, 0.1, 0.0))
+    assert supports(cfg)
+    geom = make_geometry(cfg)
+    # non-trivial velocity field so tracer/AV paths are exercised
+    rng = np.random.default_rng(0)
+    P0[2:5] += 0.1 * rng.standard_normal((3,) + cfg.shape)
+    Ppad = apply_bcs(jnp.asarray(P0), cfg, BoundaryData())
+    dt = 1.0e-3
+    for order in (1, 2):
+        ref, _ = dynamics_dU(Ppad, cfg, geom, dt, order)
+        out = dynamics_dU_pallas(Ppad, cfg, geom, dt, order, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-13)
+
+
+def test_unsupported_configs_fall_back():
+    cfg = SimConfig(ndim=1, eqn=Eqn.EULER, shape=(32,), xmin=(0.0,),
+                    xmax=(1.0,), bcs=(("outflow", "outflow"),))
+    assert not supports(cfg)  # 1D
+    cfg2 = SimConfig(ndim=2, eqn=Eqn.EULER, coords="cylindrical",
+                     shape=(16, 16), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                     bcs=(("outflow", "outflow"),) * 2)
+    assert not supports(cfg2)  # curvilinear
