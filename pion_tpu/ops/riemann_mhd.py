@@ -338,11 +338,180 @@ def linear(Pl, Pr, cfg: SimConfig):
 
 
 def roe_cv(Pl, Pr, cfg: SimConfig, hc_eta=None):
-    """Roe conserved-variable MHD flux (Cargo & Gallice 1997).
-
-    TODO(parity): dedicated CG97 implementation with H-correction floors;
-    until then this delegates to HLLD, which resolves the same wave family
-    (reference consumers: solver_eqn_mhd_adi.cpp:138-154 FLUX_RSroe).
+    """Roe conserved-variable MHD flux, symmetric sum-over-waves form
+    (Cargo & Gallice 1997; reference:
+    Roe_MHD_ConservedVar_solver.cpp:218-297,345-833 — Roe-averaged state,
+    CG97 X-parameter sound speed, Roe-Balsara normalized strengths and
+    conserved-variable right eigenvectors, H-correction eigenvalue floors).
     """
-    del hc_eta
-    return hlld(Pl, Pr, cfg)
+    g = cfg.gamma
+    rl = jnp.sqrt(Pl[RO])
+    rr = jnp.sqrt(Pr[RO])
+    denom = 1.0 / (rl + rr)
+    rho = rl * rr
+    sqrt_rho = jnp.sqrt(rho)
+    vx = (rl * Pl[VX] + rr * Pr[VX]) * denom
+    vy = (rl * Pl[VY] + rr * Pr[VY]) * denom
+    vz = (rl * Pl[VZ] + rr * Pr[VZ]) * denom
+    # note swapped weights for the transverse field (reference :363-364)
+    by = (rr * Pl[BY] + rl * Pr[BY]) * denom
+    bz = (rr * Pl[BZ] + rl * Pr[BZ]) * denom
+    bx = 0.5 * (Pl[BX] + Pr[BX])
+    sgn_bx = jnp.where(bx >= 0.0, 1.0, -1.0)
+
+    ul = prim_to_cons(Pl, cfg)
+    ur = prim_to_cons(Pr, cfg)
+    # total enthalpy (E + p_g + B^2/2)/rho
+    b2l = Pl[BX] ** 2 + Pl[BY] ** 2 + Pl[BZ] ** 2
+    b2r = Pr[BX] ** 2 + Pr[BY] ** 2 + Pr[BZ] ** 2
+    Hl = (ul[PG] + Pl[PG] + 0.5 * b2l) / Pl[RO]
+    Hr = (ur[PG] + Pr[PG] + 0.5 * b2r) / Pr[RO]
+    H = (rl * Hl + rr * Hr) * denom
+
+    V2 = vx * vx + vy * vy + vz * vz
+    B = jnp.sqrt(bx * bx + by * by + bz * bz)
+    Bt = jnp.sqrt(by * by + bz * bz)
+    degen = Bt < _TINY
+    bty = jnp.where(degen, 1.0 / jnp.sqrt(2.0),
+                    by / jnp.where(degen, 1.0, Bt))
+    btz = jnp.where(degen, 1.0 / jnp.sqrt(2.0),
+                    bz / jnp.where(degen, 1.0, Bt))
+
+    # conserved/primitive jumps; the CG97 "X" parameter and effective dp
+    # (reference: Roe_get_difference_states:417-470)
+    du_mx = ur[VX] - ul[VX]
+    du_my = ur[VY] - ul[VY]
+    du_mz = ur[VZ] - ul[VZ]
+    du_e = ur[PG] - ul[PG]
+    d_ro = Pr[RO] - Pl[RO]
+    d_vx = Pr[VX] - Pl[VX]
+    d_vy = Pr[VY] - Pl[VY]
+    d_vz = Pr[VZ] - Pl[VZ]
+    d_by = Pr[BY] - Pl[BY]
+    d_bz = Pr[BZ] - Pl[BZ]
+    X = (d_by * d_by + d_bz * d_bz) * 0.5 * denom * denom
+    d_pg = ((0.5 * V2 - X) * d_ro
+            - (vx * du_mx + vy * du_my + vz * du_mz)
+            + du_e - (by * d_by + bz * d_bz)) * (g - 1.0)
+
+    # wave speeds (reference: Roe_get_wavespeeds:473-560)
+    b2 = B * B / rho
+    a2 = (2.0 - g) * X + (g - 1.0) * jnp.maximum(H - 0.5 * V2 - b2,
+                                                 1.0e-12 * V2 + _TINY)
+    a = jnp.sqrt(a2)
+    astar2 = a2 + b2
+    ca = jnp.sqrt(bx * bx / rho)
+    disc = jnp.sqrt(jnp.maximum(astar2 * astar2 - 4.0 * a2 * ca * ca, 0.0))
+    cf = jnp.sqrt(0.5 * (astar2 + disc))
+    cs = jnp.sqrt(0.5 * jnp.maximum(astar2 - disc, 0.0))
+    ca = jnp.minimum(ca, cf)
+    cs = jnp.minimum(cs, ca)
+    cf2_cs2 = cf * cf - cs * cs
+    safe = cf2_cs2 > 1.0e-300
+    denom_a = jnp.where(safe, cf2_cs2, 1.0)
+    alphaf = jnp.sqrt(jnp.clip(jnp.maximum(a2 - cs * cs, 0.0) / denom_a,
+                               0.0, 1.0))
+    alphas = jnp.sqrt(jnp.clip(jnp.maximum(cf * cf - a2, 0.0) / denom_a,
+                               0.0, 1.0))
+    alphaf = jnp.where(safe, alphaf, 1.0 / jnp.sqrt(2.0))
+    alphas = jnp.where(safe, alphas, 1.0 / jnp.sqrt(2.0))
+
+    # eigenvalues with H-correction floors (reference:
+    # Roe_get_eigenvalues:563-612)
+    lam = [vx - cf, vx - ca, vx - cs, vx, vx + cs, vx + ca, vx + cf]
+    if hc_eta is not None:
+        lam = [jnp.where(e < 0.0, jnp.minimum(e, -hc_eta),
+                         jnp.maximum(e, hc_eta)) for e in lam]
+
+    # wave strengths (reference: Roe_get_wavestrengths:615-670)
+    dv_t = bty * d_vy + btz * d_vz
+    db_t = bty * d_by + btz * d_bz
+    base = X * d_ro + d_pg
+    s_fn = 0.5 * (alphaf * base + rho * alphas * cs * sgn_bx * dv_t
+                  - rho * alphaf * cf * d_vx + sqrt_rho * alphas * a * db_t)
+    s_fp = 0.5 * (alphaf * base - rho * alphas * cs * sgn_bx * dv_t
+                  + rho * alphaf * cf * d_vx + sqrt_rho * alphas * a * db_t)
+    s_sn = 0.5 * (alphas * base - rho * alphaf * cf * sgn_bx * dv_t
+                  - rho * alphas * cs * d_vx - sqrt_rho * alphaf * a * db_t)
+    s_sp = 0.5 * (alphas * base + rho * alphaf * cf * sgn_bx * dv_t
+                  + rho * alphas * cs * d_vx - sqrt_rho * alphaf * a * db_t)
+    s_an = 0.5 * (bty * d_vz - btz * d_vy
+                  + sgn_bx * (bty * d_bz - btz * d_by) / sqrt_rho)
+    s_ap = 0.5 * (-bty * d_vz + btz * d_vy
+                  + sgn_bx * (bty * d_bz - btz * d_by) / sqrt_rho)
+    s_ct = (a2 - X) * d_ro - d_pg
+
+    # right eigenvectors in conserved variables, slots
+    # (rho, mx, my, mz, by, bz, E) (reference: Roe_get_right_evectors:699-830)
+    inv_a2 = 1.0 / a2
+    rho_as = rho * alphas
+    rho_af = rho * alphaf
+    HB = H - B * B / rho
+    vdotbt = vy * bty + vz * btz
+
+    ev_ct = (1.0, vx, vy, vz, 0.0 * vx, 0.0 * vx,
+             0.5 * V2 + X * (g - 2.0) / (g - 1.0))
+    ev_ct = tuple(c * inv_a2 for c in ev_ct)
+    ev_an = (0.0 * vx, 0.0 * vx, -rho * btz, rho * bty,
+             -sgn_bx * sqrt_rho * btz, sgn_bx * sqrt_rho * bty,
+             -rho * (vy * btz - vz * bty))
+    ev_ap = (0.0 * vx, 0.0 * vx, rho * btz, -rho * bty,
+             -sgn_bx * sqrt_rho * btz, sgn_bx * sqrt_rho * bty,
+             rho * (vy * btz - vz * bty))
+    norm = 1.0 / (rho * a2)
+    ev_sn = tuple(c * norm for c in (
+        rho_as, rho_as * (vx - cs),
+        rho_as * vy - rho_af * cf * bty * sgn_bx,
+        rho_as * vz - rho_af * cf * btz * sgn_bx,
+        -sqrt_rho * alphaf * a * bty, -sqrt_rho * alphaf * a * btz,
+        rho_as * (HB - vx * cs) - rho_af * cf * sgn_bx * vdotbt
+        - sqrt_rho * alphaf * a * Bt))
+    ev_sp = tuple(c * norm for c in (
+        rho_as, rho_as * (vx + cs),
+        rho_as * vy + rho_af * cf * bty * sgn_bx,
+        rho_as * vz + rho_af * cf * btz * sgn_bx,
+        -sqrt_rho * alphaf * a * bty, -sqrt_rho * alphaf * a * btz,
+        rho_as * (HB + vx * cs) + rho_af * cf * sgn_bx * vdotbt
+        - sqrt_rho * alphaf * a * Bt))
+    ev_fn = tuple(c * norm for c in (
+        rho_af, rho_af * (vx - cf),
+        rho_af * vy + rho_as * cs * bty * sgn_bx,
+        rho_af * vz + rho_as * cs * btz * sgn_bx,
+        sqrt_rho * alphas * a * bty, sqrt_rho * alphas * a * btz,
+        rho_af * (HB - vx * cf) + rho_as * cs * sgn_bx * vdotbt
+        + sqrt_rho * alphas * a * Bt))
+    ev_fp = tuple(c * norm for c in (
+        rho_af, rho_af * (vx + cf),
+        rho_af * vy - rho_as * cs * bty * sgn_bx,
+        rho_af * vz - rho_as * cs * btz * sgn_bx,
+        sqrt_rho * alphas * a * bty, sqrt_rho * alphas * a * btz,
+        rho_af * (HB + vx * cf) - rho_as * cs * sgn_bx * vdotbt
+        + sqrt_rho * alphas * a * Bt))
+
+    waves = [(s_fn, lam[0], ev_fn), (s_an, lam[1], ev_an),
+             (s_sn, lam[2], ev_sn), (s_ct, lam[3], ev_ct),
+             (s_sp, lam[4], ev_sp), (s_ap, lam[5], ev_ap),
+             (s_fp, lam[6], ev_fp)]
+
+    fl = flux_from_prim(Pl, cfg)
+    fr = flux_from_prim(Pr, cfg)
+    f = fl + fr
+    # dissipation: slots (rho->RO, mx..mz->VX..VZ, by,bz->BY,BZ, E->PG)
+    for s, e, k in waves:
+        c = s * jnp.abs(e)
+        f = f.at[RO].add(-c * k[0])
+        f = f.at[VX].add(-c * k[1])
+        f = f.at[VY].add(-c * k[2])
+        f = f.at[VZ].add(-c * k[3])
+        f = f.at[BY].add(-c * k[4])
+        f = f.at[BZ].add(-c * k[5])
+        f = f.at[PG].add(-c * k[6])
+    f = 0.5 * f
+
+    # interface state from the Roe mean (reference:
+    # set_pstar_from_meanp:299-345): p_g = rho*a^2/gamma
+    nvar = Pl.shape[0]
+    pad = [jnp.zeros_like(rho)] * (nvar - 8)
+    pstar_p = jnp.stack([rho, rho * a2 / g, vx, vy, vz,
+                         jnp.ones_like(rho) * bx, by, bz] + pad)
+    return f, prim_to_cons(pstar_p, cfg)

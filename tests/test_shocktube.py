@@ -137,3 +137,39 @@ def test_mass_conservation_periodic():
     U1 = np.asarray(prim_to_cons(sim.P, cfg))
     for v in (RO, VX):
         np.testing.assert_allclose(U1[v].sum(), U0[v].sum(), rtol=1e-10)
+
+
+def test_roe_mhd_uniform_consistency():
+    """Roe-MHD flux of identical states equals the exact flux."""
+    import jax.numpy as jnp
+    from pion_tpu.ops import riemann_mhd as rm
+    from pion_tpu.ops.eqns import flux_from_prim
+
+    cfg = SimConfig(ndim=1, eqn=Eqn.MHD, gamma=5.0 / 3.0, shape=(4,),
+                    xmin=(0.0,), xmax=(1.0,), bcs=(("outflow", "outflow"),))
+    P = jnp.asarray(np.array(
+        [[1.2], [0.8], [0.3], [-0.2], [0.1], [0.6], [0.5], [-0.4]]))
+    f, _ = rm.roe_cv(P, P, cfg)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(flux_from_prim(P, cfg)),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_brio_wu_roe_mhd():
+    cfg = SimConfig(
+        ndim=1, eqn=Eqn.GLM, solver="roe", gamma=2.0,
+        shape=(256,), xmin=(0.0,), xmax=(1.0,),
+        bcs=(("outflow", "outflow"),), cfl=0.3, ooa=2,
+        av="falle", etav=0.1, tmax=0.08,
+    )
+    P0 = brio_wu(cfg)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    assert np.all(np.isfinite(out))
+    assert out[RO].min() > 0.05 and out[RO].max() <= 1.1
+    # cross-check against HLLD: same problem, solutions should agree well
+    cfg2 = cfg.with_(solver="hlld")
+    sim2 = Simulation(cfg2, jnp.asarray(brio_wu(cfg2)))
+    sim2.run()
+    l1 = np.mean(np.abs(out[RO] - np.asarray(sim2.P[RO])))
+    assert l1 < 0.02, f"Roe vs HLLD L1 {l1}"
