@@ -63,6 +63,9 @@ class SimConfig:
     # fused Pallas sweep path: "auto" (TPU backends only), "on", "off",
     # or "interpret" (for CPU correctness tests)
     pallas: str = "auto"
+    # HLLD->HLL switch in compressive strong-gradient zones (Mignone+ 2011;
+    # reference behavior).  Disable to trade robustness for ~25% step speed.
+    hlld_fallback: bool = True
 
     # time control
     tmax: float = 1.0

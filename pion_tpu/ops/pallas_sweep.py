@@ -89,7 +89,7 @@ def _av_falle_tile(flux, Pl, Pr, pstar, cfg: SimConfig):
 
 
 def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
-                    dx: float):
+                    dx: float, hll_mask=None):
     """Per-tile sweep math with the sweep axis LAST.
 
     ``Pt``: (nvar, ..., N+2*NG).  Returns the dU contribution
@@ -127,7 +127,8 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         Pl_r = _upd(Pl_r, {SI: zero, BX: bxstar})
         Pr_r = _upd(Pr_r, {SI: zero, BX: bxstar})
 
-    flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, None)
+    flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, None,
+                             hll_mask=hll_mask)
 
     if glm:
         flux_r = _upd(flux_r, {
@@ -196,57 +197,76 @@ def _pick_lanes(n: int) -> int:
 
 
 def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
-                       dx: float, interpret: bool):
+                       dx: float, interpret: bool, mask=None):
     """Launch the fused kernel for one axis.  ``Pt`` is padded along the
-    sweep axis only (interior on transverse axes)."""
+    sweep axis only (interior on transverse axes).  ``mask`` (optional,
+    HLLD->HLL fallback) has the same spatial layout with n+1 interfaces on
+    the sweep axis and a leading singleton channel dim."""
     nvar = cfg.nvar
     nd = cfg.ndim
     n = cfg.shape[axis]
     npad = n + 2 * NG
     dt = jnp.asarray(dt, Pt.dtype)
     ch_v = jnp.asarray(0.0 if ch is None else ch, Pt.dtype)
+    has_mask = mask is not None
 
-    def kernel(dt_ref, ch_ref, p_ref, o_ref, sweep_last: bool):
+    def kernel(*refs, sweep_last: bool):
+        if has_mask:
+            dt_ref, ch_ref, p_ref, m_ref, o_ref = refs
+        else:
+            dt_ref, ch_ref, p_ref, o_ref = refs
+            m_ref = None
         dt_k = dt_ref[0]
         ch_k = ch_ref[0]
         if sweep_last:
-            # tile (nvar, 1?, S, L) with sweep on L
             t = p_ref[...].reshape((nvar, -1, npad))
-            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx)
+            m = None
+            if m_ref is not None:
+                m = m_ref[...].reshape((-1, n + 1)) > 0.5
+            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx,
+                                  hll_mask=m)
             o_ref[...] = out.reshape(o_ref.shape)
             return
         # sweep axis in the sublane position.  Process one lane-row chunk
         # at a time (static unroll) so only ~one chunk's worth of Riemann
         # intermediates is live in VMEM at once.
         if p_ref.ndim == 3:        # 2D y-sweep: (nvar, npad, bx)
-            chunks = [(slice(None),)]
+            chunks = [None]
         elif p_ref.shape[1] == 1:  # 3D y-sweep: (nvar, 1, npad, bx)
-            chunks = [(0, slice(None))]
+            chunks = ["squeeze"]
         else:                      # 3D z-sweep: (nvar, npad, by, bx)
-            chunks = [(slice(None), j) for j in range(p_ref.shape[2])]
+            chunks = list(range(p_ref.shape[2]))
         for c in chunks:
-            if p_ref.ndim == 3:
+            if c is None:
                 sub = p_ref[...]
-            elif p_ref.shape[1] == 1:
+                m = None if m_ref is None else m_ref[0, :, :]
+            elif c == "squeeze":
                 sub = p_ref[:, 0, :, :]
+                m = None if m_ref is None else m_ref[0, 0, :, :]
             else:
-                sub = p_ref[:, :, c[1], :]
+                sub = p_ref[:, :, c, :]
+                m = None if m_ref is None else m_ref[0, :, c, :]
             t = jnp.swapaxes(sub, -1, -2)              # (nvar, bx, npad)
-            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx)
+            if m is not None:
+                m = jnp.swapaxes(m, -1, -2) > 0.5      # (bx, n+1)
+            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx,
+                                  hll_mask=m)
             out = jnp.swapaxes(out, -1, -2)            # (nvar, n, bx)
-            if p_ref.ndim == 3:
+            if c is None:
                 o_ref[...] = out
-            elif p_ref.shape[1] == 1:
+            elif c == "squeeze":
                 o_ref[:, 0, :, :] = out
             else:
-                o_ref[:, :, c[1], :] = out
+                o_ref[:, :, c, :] = out
 
+    ni = n + 1
     if nd == 2:
         ny, nx = cfg.shape
         if axis == 1:  # x sweep: Pt (nvar, ny, nx+4)
             by = _pick_rows(ny)
             grid = (ny // by,)
             in_spec = pl.BlockSpec((nvar, by, npad), lambda i: (0, i, 0))
+            m_spec = pl.BlockSpec((1, by, ni), lambda i: (0, i, 0))
             out_spec = pl.BlockSpec((nvar, by, n), lambda i: (0, i, 0))
             out_shape = jax.ShapeDtypeStruct((nvar, ny, n), Pt.dtype)
             kfn = partial(kernel, sweep_last=True)
@@ -254,6 +274,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             bx = _pick_lanes(nx)
             grid = (nx // bx,)
             in_spec = pl.BlockSpec((nvar, npad, bx), lambda i: (0, 0, i))
+            m_spec = pl.BlockSpec((1, ni, bx), lambda i: (0, 0, i))
             out_spec = pl.BlockSpec((nvar, n, bx), lambda i: (0, 0, i))
             out_shape = jax.ShapeDtypeStruct((nvar, n, nx), Pt.dtype)
             kfn = partial(kernel, sweep_last=False)
@@ -262,15 +283,21 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         if axis == 2:  # x sweep: Pt (nvar, nz, ny, nx+4)
             by = _pick_rows(ny)
             grid = (nz, ny // by)
-            in_spec = pl.BlockSpec((nvar, 1, by, npad), lambda i, j: (0, i, j, 0))
-            out_spec = pl.BlockSpec((nvar, 1, by, n), lambda i, j: (0, i, j, 0))
+            in_spec = pl.BlockSpec((nvar, 1, by, npad),
+                                   lambda i, j: (0, i, j, 0))
+            m_spec = pl.BlockSpec((1, 1, by, ni), lambda i, j: (0, i, j, 0))
+            out_spec = pl.BlockSpec((nvar, 1, by, n),
+                                    lambda i, j: (0, i, j, 0))
             out_shape = jax.ShapeDtypeStruct((nvar, nz, ny, n), Pt.dtype)
             kfn = partial(kernel, sweep_last=True)
         elif axis == 1:  # y sweep: Pt (nvar, nz, ny+4, nx)
             bx = _pick_lanes(nx)
             grid = (nz, nx // bx)
-            in_spec = pl.BlockSpec((nvar, 1, npad, bx), lambda i, j: (0, i, 0, j))
-            out_spec = pl.BlockSpec((nvar, 1, n, bx), lambda i, j: (0, i, 0, j))
+            in_spec = pl.BlockSpec((nvar, 1, npad, bx),
+                                   lambda i, j: (0, i, 0, j))
+            m_spec = pl.BlockSpec((1, 1, ni, bx), lambda i, j: (0, i, 0, j))
+            out_spec = pl.BlockSpec((nvar, 1, n, bx),
+                                    lambda i, j: (0, i, 0, j))
             out_shape = jax.ShapeDtypeStruct((nvar, nz, n, nx), Pt.dtype)
             kfn = partial(kernel, sweep_last=False)
         else:          # z sweep: Pt (nvar, nz+4, ny, nx)
@@ -279,6 +306,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             grid = (ny // by, nx // bx)
             in_spec = pl.BlockSpec((nvar, npad, by, bx),
                                    lambda i, j: (0, 0, i, j))
+            m_spec = pl.BlockSpec((1, ni, by, bx), lambda i, j: (0, 0, i, j))
             out_spec = pl.BlockSpec((nvar, n, by, bx),
                                     lambda i, j: (0, 0, i, j))
             out_shape = jax.ShapeDtypeStruct((nvar, n, ny, nx), Pt.dtype)
@@ -293,15 +321,17 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         # the scoped-VMEM budget above the 16 MiB default (v5e has 128 MiB)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
+    specs = [smem, smem, in_spec] + ([m_spec] if has_mask else [])
+    args = [dt_a, ch_a, Pt] + ([mask] if has_mask else [])
     return pl.pallas_call(
         kfn,
         grid=grid,
-        in_specs=[smem, smem, in_spec],
+        in_specs=specs,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
         **kwargs,
-    )(dt_a, ch_a, Pt)
+    )(*args)
 
 
 def dynamics_dU_pallas(
@@ -314,16 +344,33 @@ def dynamics_dU_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused-path dU (no face-flux output; NG hierarchies use the XLA path)."""
-    from .sweep import _interior
+    from .sweep import _interior, _slab, hlld_fallback_cells
 
     assert supports(cfg)
     dx = geom.dx
+    nd = cfg.ndim
+    ng = NG
     if cfg.eqn is Eqn.GLM and ch is None:
         ch = cfg.cfl * dx / dt
+
+    strong = None
+    if (cfg.solver is Solver.HLLD and cfg.eqn.is_mhd
+            and cfg.hlld_fallback):
+        strong = hlld_fallback_cells(Ph_pad, cfg, dx).astype(Ph_pad.dtype)
+
     dU = None
-    for axis in range(cfg.ndim):
+    for axis in range(nd):
         Pt = _interior(Ph_pad, cfg, skip_axis=axis)
+        mask = None
+        if strong is not None:
+            n = cfg.shape[axis]
+            sl_t = [slice(ng, -ng) if a != axis else slice(None)
+                    for a in range(nd)]
+            smi = strong[tuple(sl_t)]
+            ml = _slab(smi[None], 1 + axis, ng - 1, ng + n)[0]
+            mr = _slab(smi[None], 1 + axis, ng, ng + n + 1)[0]
+            mask = jnp.maximum(ml, mr)[None]  # leading channel dim
         contrib = _sweep_axis_pallas(Pt, cfg, axis, order, dt, ch, dx,
-                                     interpret)
+                                     interpret, mask=mask)
         dU = contrib if dU is None else dU + contrib
     return dU

@@ -103,7 +103,8 @@ def _reconstruct(Pt, cfg: SimConfig, geom: Geometry, axis: int, order: int,
     return Pl, Pr, slope_c
 
 
-def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta):
+def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta,
+             hll_mask=None):
     """Dispatch on the configured flux solver (sweep frame).
 
     Mirrors reference solver dispatch (solver_eqn_hydro_adi.cpp:94-201,
@@ -133,7 +134,8 @@ def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta):
     if s is Solver.HLL:
         return rm_to_pstar(rm.hll(Pl_r, Pr_r, cfg), cfg)
     if s is Solver.HLLD:
-        return rm_to_pstar(rm.hlld(Pl_r, Pr_r, cfg), cfg)
+        return rm_to_pstar(
+            rm.hlld_with_hll_fallback(Pl_r, Pr_r, cfg, hll_mask), cfg)
     if s is Solver.RCV:
         return rm_to_pstar(rm.roe_cv(Pl_r, Pr_r, cfg, hc_eta), cfg)
     if s in (Solver.LINEAR, Solver.EXACT, Solver.HYBRID, Solver.RPV):
@@ -217,6 +219,37 @@ def calc_hcorr_eta(Ph_pad, cfg: SimConfig, geom: Geometry, order: int):
     return etas
 
 
+def hlld_fallback_cells(Ph_pad, cfg: SimConfig, dx: float):
+    """Per-cell div(v) and pressure-jump measure for the HLLD->HLL switch
+    (Mignone et al. 2011; reference: solver_eqn_base.cpp:398-412 preprocess
+    sets DivV and MagGradP = sum_axes |dp|/min(p), threshold 5 at
+    solver_eqn_mhd_adi.cpp:167-182).  Computed on the padded array so the
+    one-ghost-deep cells used by boundary interfaces are covered."""
+    nd = cfg.ndim
+    divv = None
+    gradp = None
+    for ax0 in range(nd):
+        ax = 1 + ax0
+        k = nd - 1 - ax0
+        v = Ph_pad[VX + k]
+        npd = v.shape[ax0]
+        lo = jnp.concatenate([_slab(v[None], ax, 0, 1)[0],
+                              _slab(v[None], ax, 0, -1)[0]], axis=ax0)
+        hi = jnp.concatenate([_slab(v[None], ax, 1, None)[0],
+                              _slab(v[None], ax, npd - 1, None)[0]], axis=ax0)
+        d = (hi - lo) / (2.0 * dx)
+        divv = d if divv is None else divv + d
+        p = Ph_pad[PG]
+        plo = jnp.concatenate([_slab(p[None], ax, 0, 1)[0],
+                               _slab(p[None], ax, 0, -1)[0]], axis=ax0)
+        phi = jnp.concatenate([_slab(p[None], ax, 1, None)[0],
+                               _slab(p[None], ax, npd - 1, None)[0]], axis=ax0)
+        gz = jnp.abs(phi - plo) / jnp.minimum(phi, plo)
+        gradp = gz if gradp is None else gradp + gz
+    strong = (divv < 0.0) & (gradp > 5.0)
+    return strong
+
+
 def _select_hcorr_eta(etas, cfg: SimConfig, axis: int, n: int):
     """Max eta over the H-stencil of each interface along ``axis``
     (reference: solver_eqn_base.cpp:608-678, Sanders et al. 1998 fig. 9).
@@ -272,6 +305,11 @@ def dynamics_dU(
     if cfg.av in (AV.HCORR, AV.HCORR_FALLE):
         etas = calc_hcorr_eta(Ph_pad, cfg, geom, order)
 
+    hlld_strong = None
+    if (cfg.solver is Solver.HLLD and cfg.eqn.is_mhd
+            and cfg.hlld_fallback):
+        hlld_strong = hlld_fallback_cells(Ph_pad, cfg, dx)
+
     dU = None
     face_fluxes: List[jnp.ndarray] = []
     for axis in range(nd):
@@ -297,6 +335,19 @@ def dynamics_dU(
         if etas is not None:
             hc_eta = _select_hcorr_eta(etas, cfg, axis, n)
 
+        hll_mask = None
+        if hlld_strong is not None:
+            # interface uses HLL when either adjacent cell is flagged
+            sm = hlld_strong
+            sl_t = [slice(ng, -ng) if a != axis else slice(None)
+                    for a in range(nd)]
+            smi = sm[tuple(sl_t)]
+            ml = _slab(smi[None], 1 + axis, ng - 1, ng + n)[0]
+            mr = _slab(smi[None], 1 + axis, ng, ng + n + 1)[0]
+            hll_mask = ml | mr
+            if axis != nd - 1:
+                hll_mask = jnp.moveaxis(hll_mask[None], 1 + axis, -1)[0]
+
         psistar = bxstar = None
         if glm:
             # Dedner 2x2 Riemann problem for (Bx, psi)
@@ -306,7 +357,8 @@ def dynamics_dU(
             Pl_r = Pl_r.at[SI].set(0.0).at[BX].set(bxstar)
             Pr_r = Pr_r.at[SI].set(0.0).at[BX].set(bxstar)
 
-        flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, hc_eta)
+        flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, hc_eta,
+                                 hll_mask=hll_mask)
 
         if glm:
             # Mackey & Lim (2011) energy correction + Dedner fluxes
