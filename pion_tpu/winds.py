@@ -112,10 +112,11 @@ def fn_v_inf(omega, vinf, theta):
 
 def fn_density_angle(omega, vinf, mdot, r, theta, teff, xi):
     """Omega-slow-wind density (reference: stellar_wind_angle.cpp
-    fn_density:361-377)."""
-    return (mdot * fn_alpha(omega, theta, teff) * fn_delta(omega, teff, xi)
-            * (1.0 - omega * jnp.sin(theta)) ** xi) \
-        / (8.0 * np.pi * r * r * fn_v_inf(omega, vinf, theta))
+    fn_density:361-377).  Grouped as (mdot/8pi v) / r / r so no
+    intermediate overflows float32 (r^2*v ~ 1e43 cgs would)."""
+    return (mdot / (8.0 * np.pi * fn_v_inf(omega, vinf, theta))
+            * fn_alpha(omega, theta, teff) * fn_delta(omega, teff, xi)
+            * (1.0 - omega * jnp.sin(theta)) ** xi) / r / r
 
 
 def latdep_f(theta, omega, xi):
@@ -318,8 +319,11 @@ class WindBC:
                                    theta, teff, s.xi)
             rho_star = fn_density_angle(om, par["vinf"], par["mdot"],
                                         par["rstar"], theta, teff, s.xi)
-            # p = Tw kB/mp rho_star^(1-g) rho^g  (stellar_wind_angle.cpp:495-505)
-            pg = (K_B * par["t_wind"] / M_P) * rho_star ** (1.0 - g) * rho**g
+            # p = Tw kB/mp rho_star^(1-g) rho^g (stellar_wind_angle.cpp:495-505)
+            # regrouped as rho_star*(rho/rho_star)^g: rho^g alone underflows
+            # float32 (1e-24^(5/3) ~ 1e-40)
+            pg = (K_B * par["t_wind"] / M_P) * rho_star \
+                * (rho / rho_star) ** g
             vmag = fn_v_inf(om, par["vinf"], theta)
         elif s.model == "latdep":
             om = self._omega(par)
@@ -327,18 +331,20 @@ class WindBC:
             vmag = par["vinf"] * (1.0 - jnp.minimum(om, 0.999)
                                   * jnp.sin(theta)) ** C_GAMMA
             A = (par["mdot"] / md0 - 1.0) / latdep_norm(om, s.xi)
-            rho = md0 * (1.0 + A * latdep_f(theta, om, s.xi)) \
-                / (4.0 * np.pi * d * d * vmag)
-            # p = Tw kB/mp (rho (d/Rstar)^2)^(1-g) rho^g
+            rho = (md0 / (4.0 * np.pi * vmag)) \
+                * (1.0 + A * latdep_f(theta, om, s.xi)) / d / d
+            # p = Tw kB/mp (rho (d/Rstar)^2)^(1-g) rho^g, which simplifies
+            # to Tw kB/mp rho (Rstar/d)^(2(g-1)) — float32-safe
             # (stellar_wind_latdep.cpp:330-338)
-            pg = (K_B * par["t_wind"] / M_P) \
-                * (rho * (d / par["rstar"]) ** 2) ** (1.0 - g) * rho**g
+            pg = (K_B * par["t_wind"] / M_P) * rho \
+                * (par["rstar"] / d) ** (2.0 * (g - 1.0))
         else:
-            rho = par["mdot"] / (par["vinf"] * 4.0 * np.pi) / (d * d)
-            # adiabatic wind: T=Tw at the stellar surface
-            pg = (K_B * par["t_wind"] / M_P
-                  * (4.0 * np.pi * par["rstar"] ** 2 * par["vinf"]
-                     / par["mdot"]) ** (g - 1.0) * rho**g)
+            rho = par["mdot"] / (par["vinf"] * 4.0 * np.pi) / d / d
+            # adiabatic wind: T=Tw at the stellar surface; grouped as
+            # rho_star*(rho/rho_star)^g = rho*(rstar/d)^(2(g-1)) since
+            # rho ~ d^-2 exactly — float32-safe (rho^g alone underflows)
+            pg = (K_B * par["t_wind"] / M_P) * rho \
+                * (par["rstar"] / d) ** (2.0 * (g - 1.0))
             vmag = par["vinf"]
 
         vx = vmag * nx

@@ -233,3 +233,48 @@ def test_mhd_wind_split_monopole():
     bmag = np.sqrt(W[iBX] ** 2 + W[iBY] ** 2)[mask]
     expect = (1.0 / np.sqrt(4 * np.pi)) * (src.rstar / d[mask]) ** 2
     np.testing.assert_allclose(bmag, expect, rtol=1e-10)
+
+
+def test_wind_f32_safe():
+    """cgs wind formulas must not overflow/underflow float32 (production TPU
+    precision): rho>0 and pg>0 throughout the region, dt finite, one step
+    finite.  Regression for the 8*pi*r^2*v ~ 1e43 overflow."""
+    import contextlib
+    import jax
+
+    @contextlib.contextmanager
+    def no_x64():
+        jax.config.update("jax_enable_x64", False)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    with no_x64():
+        rmax = np.float32(0.5 * PC)
+        n = 32
+        cfg = SimConfig(
+            ndim=2, eqn=Eqn.EULER, solver="hll", coords=Coord.CYLINDRICAL,
+            shape=(n // 2, n), xmin=(0.0, -rmax), xmax=(rmax / 2, rmax),
+            bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")),
+            cfl=0.3, tmax=1.0, dtype="float32",
+        )
+        P0 = np.zeros((cfg.nvar,) + cfg.shape, np.float32)
+        P0[RO] = 100.0 * M_P
+        P0[PG] = 100.0 * 1.380649e-16 * 100.0
+        for model, kw in (("iso", {}), ("angle", dict(v_rot=4.5e7, vcrit=5e7)),
+                          ("latdep", dict(v_rot=4.5e7, vcrit=5e7))):
+            src = WindSource(position=(0.0, 0.0), radius=10.0 * rmax / n,
+                             mdot=1.0e-5 * MSUN_YR, vinf=2.0e8, t_wind=2.0e4,
+                             rstar=7.0e11, model=model, **kw)
+            sim = Simulation(cfg, jnp.asarray(P0), physics=Physics(
+                wind_sources=[src]))
+            P = np.asarray(sim.P)
+            m = np.asarray(sim.physics.winds[0].mask)
+            inner = np.asarray(sim.physics.winds[0].inner)
+            free = m & ~inner
+            assert P[RO][free].min() > 1e-30, f"{model}: rho underflow"
+            assert P[PG][free].min() > 1e-30, f"{model}: pg underflow"
+            sim.run(max_steps=3, tmax=1e30)
+            assert np.isfinite(sim.t) and sim.t > 0, f"{model}: dt went NaN"
+            assert np.all(np.isfinite(np.asarray(sim.P))), model
