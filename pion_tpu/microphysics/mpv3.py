@@ -143,7 +143,17 @@ class MPv3:
         t["C_cxce"] = (1.4e-23 * Z * np.exp(-0.5 * np.log(TT) - 92.0 / TT)
                        * NE / (1.0 + 0.05 * NE * (TT / 2000.0) ** (-0.37)))
         if c.ion_src == "mfion":
-            t.update(TB.build_photoion_tables(c.tstar, c.rstar_cm))
+            pt = TB.build_photoion_tables(c.tstar, c.rstar_cm)
+            # normalize the (log10) rate tables by their peak so runtime
+            # exponentials stay in float32 range (raw rates ~1e47 overflow
+            # f32); the peak is restored through rt["sv"] = 10^ls / Vshell,
+            # a host-side f64 product that is itself f32-representable
+            self.rate_scale_log = float(np.max(pt["pi_rate"]))
+            for nm in ("pi_rate", "pi_heat", "lt_pi_rate", "lt_pi_heat"):
+                pt[nm] = pt[nm] - self.rate_scale_log
+            t.update(pt)
+        else:
+            self.rate_scale_log = 0.0
         self.tab = {k: jnp.asarray(v) for k, v in t.items()
                     if isinstance(v, np.ndarray)}
         self.tau_bounds = (1.0e-3, 1.0e6)
@@ -202,7 +212,12 @@ class MPv3:
                 frac = 1.0  # sigma(E)/sigma0 at threshold ~ 1 for 18.6eV? no:
                 frac = float(TB.hi_xsection_fractional(E_MONO))
                 dtau = dtau_cur * frac
-                rate = rt["n_idot"] * jnp.exp(-tau0 * frac) / vshell
+                # nv = Ndot/Vshell, precomputed on host at f64 so neither
+                # factor is materialized at f32 (both overflow; ratio doesn't)
+                nv = rt.get("nv", None)
+                if nv is None:
+                    nv = rt["n_idot"] / vshell
+                rate = nv * jnp.exp(-tau0 * frac)
                 rate = rate * jnp.where(
                     dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
                 omx_dot -= rate
@@ -210,6 +225,11 @@ class MPv3:
             else:  # mfion (reference: Hi_discrete_multifreq_* :101-155)
                 lg = tb["log_tau"]
                 tmin, tmax = self.tau_bounds
+                # tables are peak-normalized (see _build_tables); sv restores
+                # the scale divided by Vshell, f32-safe
+                sv = rt.get("sv", None)
+                if sv is None:
+                    sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) / vshell
 
                 def lookup(name, tau):
                     t_ = jnp.clip(tau, tmin, tmax)
@@ -218,10 +238,10 @@ class MPv3:
 
                 big = lookup("pi_rate", tau0) - lookup("pi_rate", tau0 + dtau_cur)
                 small = lookup("lt_pi_rate", tau0) * dtau_cur / (SIGMA0 * nH)
-                pir = jnp.where(dtau_cur < 0.01, small, big) / (nH * vshell)
+                pir = jnp.where(dtau_cur < 0.01, small, big) * sv / nH
                 bigh = lookup("pi_heat", tau0) - lookup("pi_heat", tau0 + dtau_cur)
                 smallh = lookup("lt_pi_heat", tau0) * dtau_cur / (SIGMA0 * nH)
-                pih = jnp.where(dtau_cur < 0.01, smallh, bigh) / (nH * vshell)
+                pih = jnp.where(dtau_cur < 0.01, smallh, bigh) * sv / nH
                 omx_dot -= pir
                 Edot += pih
 
@@ -379,6 +399,7 @@ class MPv3:
         """No-raytracer defaults (reference: MPv3 constructor :338-346)."""
         z = jnp.zeros_like(P[RO])
         return {
-            "tau0": z + 1.0e6, "ds": z, "vshell": z + 1.0e200,
-            "n_idot": self.mpc.n_idot, "g0_uv": z, "g0_ir": z,
+            "tau0": z + 1.0e6, "ds": z, "vshell": z + 1.0e30,
+            "n_idot": self.mpc.n_idot, "nv": z, "sv": z,
+            "g0_uv": z, "g0_ir": z,
         }

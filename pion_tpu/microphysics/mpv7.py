@@ -80,7 +80,10 @@ class MPv7(JitCachedMP):
         if c.ion_src == "mono":
             frac = float(TB.hi_xsection_fractional(E_MONO))
             dtau = nH * rt["ds"] * omx * SIGMA0 * frac
-            rate = rt["n_idot"] * jnp.exp(-rt["tau0"] * frac) / rt["vshell"]
+            nv = rt.get("nv", None)
+            if nv is None:
+                nv = rt["n_idot"] / rt["vshell"]
+            rate = nv * jnp.exp(-rt["tau0"] * frac)
             rate = rate * jnp.where(dtau < 1e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
             omx_dot = omx_dot - rate
         return omx_dot
@@ -119,5 +122,5 @@ class MPv7(JitCachedMP):
 
     def default_rt(self, P) -> Dict:
         z = jnp.zeros_like(P[RO])
-        return {"tau0": z + 1.0e6, "ds": z, "vshell": z + 1.0e200,
-                "n_idot": self.mpc.n_idot}
+        return {"tau0": z + 1.0e6, "ds": z, "vshell": z + 1.0e30,
+                "n_idot": self.mpc.n_idot, "nv": z, "sv": z}

@@ -83,7 +83,10 @@ class MPv5(MPv3):
             if c.ion_src == "mono":
                 frac = float(TB.hi_xsection_fractional(E_MONO))
                 dtau = dtau_cur * frac
-                rate = rt["n_idot"] * jnp.exp(-tau0 * frac) / vshell
+                nv = rt.get("nv", None)
+                if nv is None:
+                    nv = rt["n_idot"] / vshell
+                rate = nv * jnp.exp(-tau0 * frac)
                 rate = rate * jnp.where(
                     dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
                 omx_dot -= rate
@@ -91,6 +94,9 @@ class MPv5(MPv3):
             else:
                 lg = tb["log_tau"]
                 tmin, tmax = self.tau_bounds
+                sv = rt.get("sv", None)
+                if sv is None:
+                    sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) / vshell
 
                 def lookup(name, tau):
                     t_ = jnp.clip(tau, tmin, tmax)
@@ -100,11 +106,11 @@ class MPv5(MPv3):
                 big = lookup("pi_rate", tau0) - lookup("pi_rate",
                                                        tau0 + dtau_cur)
                 small = lookup("lt_pi_rate", tau0) * dtau_cur / (SIGMA0 * nH)
-                omx_dot -= jnp.where(dtau_cur < 0.01, small, big) / (nH * vshell)
+                omx_dot -= jnp.where(dtau_cur < 0.01, small, big) * sv / nH
                 bigh = lookup("pi_heat", tau0) - lookup("pi_heat",
                                                         tau0 + dtau_cur)
                 smallh = lookup("lt_pi_heat", tau0) * dtau_cur / (SIGMA0 * nH)
-                Edot += jnp.where(dtau_cur < 0.01, smallh, bigh) / (nH * vshell)
+                Edot += jnp.where(dtau_cur < 0.01, smallh, bigh) * sv / nH
 
         # recombination + cooling, He free-free, H0 excitation
         omx_dot += f1("rrhp") * x * ne

@@ -67,8 +67,23 @@ class NGHierarchy:
         self.geoms = [make_geometry(c) for c in self.cfgs]
         self.physics = physics
         if physics is not None:
-            assert not physics.sources, \
-                "TODO(parity): per-level raytracing on nested grids"
+            # one Physics clone per level: same chemistry/sources, per-level
+            # tracer geometry + wind masks (reference: sim_control_NG.cpp:138
+            # setup_raytracing per level; RT_all_sources_levels :945-1011)
+            self.phys = [physics.for_level(self.cfgs[l], self.geoms[l])
+                         for l in range(n_levels)]
+            for p in (physics.sources or []):
+                if not p.at_infinity:
+                    fine = self.cfgs[-1]
+                    inside = all(fine.xmin[a] <= p.position[a] <= fine.xmax[a]
+                                 for a in range(fine.ndim))
+                    assert inside, (
+                        "point radiation sources must lie inside the finest "
+                        "level (reference production configs do; off-grid "
+                        "point-source tracing is do_offgrid_raytracing, "
+                        "disabled upstream too: sim_control_NG.cpp:959-969)")
+        else:
+            self.phys = [None] * n_levels
         if states is not None:
             self.P = list(states)
         else:
@@ -82,6 +97,9 @@ class NGHierarchy:
     def set_states(self, states):
         self.P = list(states)
         self.bdata = make_fixed_strips(np.asarray(self.P[0]), self.cfgs[0])
+        for l in range(self.n_levels):
+            if self.phys[l] is not None and self.phys[l].winds:
+                self.P[l] = self.phys[l].apply_internal_bcs(self.P[l], self.t)
 
     # -- C2F prolongation --------------------------------------------------
     def _prolong_padded(self, Pc, level: int):
@@ -218,53 +236,109 @@ class NGHierarchy:
             k += 1
         return out
 
+    # -- per-level radiation columns ----------------------------------------
+    def _child_tau_offsets(self, level: int, Ph, tau_in):
+        """Entry-column offsets for level+1's sources-at-infinity: this
+        level's tau field sliced at the child's upstream boundary plane,
+        windowed to the child's transverse footprint and prolonged 2x
+        (the TPU equivalent of the reference's C2F boundary Tau data,
+        NG_coarse_to_fine_boundaries.cpp + cell extra_data columns).
+        Point sources need no offset: co-centred levels all contain them."""
+        phys = self.phys[level]
+        if phys is None or not phys.sources:
+            return None
+        inf_idx = [i for i, s in enumerate(phys.sources) if s.at_infinity]
+        if not inf_idx:
+            return None
+        taus = phys.trace_taus(Ph, tau_in)
+        cfg = self.cfgs[level]
+        nd = cfg.ndim
+        out = {}
+        for i in inf_idx:
+            s = phys.sources[i]
+            ax = s.axis
+            q = cfg.shape[ax] // 4
+            idx = q if s.sign > 0 else 3 * q - 1
+            plane = jnp.take(taus[i], idx, axis=ax)  # (transverse parent)
+            # window to the child's footprint then prolong 2x per axis
+            k = 0
+            for bx in range(nd):
+                if bx == ax:
+                    continue
+                qb = cfg.shape[bx] // 4
+                plane = jax.lax.slice_in_dim(plane, qb, 3 * qb, axis=k)
+                plane = jnp.repeat(plane, 2, axis=k)
+                k += 1
+            out[i] = jnp.expand_dims(plane, ax)  # broadcasts along the ray
+        return out
+
     # -- time stepping -----------------------------------------------------
     def compute_dt(self) -> float:
         """Coarse dt = 2^l * finest-level dt (reference:
-        sim_control_NG.cpp:288-341 per-level sync)."""
+        sim_control_NG.cpp:288-341 per-level sync; chemistry limit as in
+        calc_timestep.cpp:342 calc_microphysics_dt)."""
         dt0 = None
         for l in range(self.n_levels):
             d = float(dynamics_dt(self.P[l], self.cfgs[l], self.geoms[l]))
+            phys = self.phys[l]
+            if phys is not None and phys.dt_limit and phys.mp is not None:
+                d = min(d, float(phys.timescale(self.P[l], self.cfgs[l])))
             d_scaled = d * (2 ** l)
             dt0 = d_scaled if dt0 is None else min(dt0, d_scaled)
         if self.last_dt > 0.0:
             dt0 = min(dt0, self.cfgs[0].max_dt_growth * self.last_dt)
         return dt0
 
-    def _advance_level(self, level: int, dt: float, parent_state=None):
+    def _advance_level(self, level: int, dt: float, parent_state=None,
+                       tau_in=None, t0: float = None):
         """One OA2 step of `level` with two recursive substeps of level+1.
         Returns the time-summed restricted boundary-plane fluxes for the
-        parent's BC89 correction (reference: sim_control_NG.cpp:679-810)."""
+        parent's BC89 correction (reference: sim_control_NG.cpp:679-810).
+        ``tau_in``: per-source upstream column offsets handed down by the
+        parent (sources at infinity only)."""
         cfg = self.cfgs[level]
         geom = self.geoms[level]
+        phys = self.phys[level]
         P = self.P[level]
         glm = cfg.eqn is Eqn.GLM
         ch = cfg.cfl * geom.dx / dt if glm else None
+        if t0 is None:
+            t0 = self.t
 
         # predictor half-step (1st-order space)
         Ppad = self._pad_level(level, P, parent_state)
         dU_h, _ = dynamics_dU(Ppad, cfg, geom, 0.5 * dt, 1, ch=ch)
-        if self.physics is not None:
-            dU_h = dU_h + self.physics.mp_delta_U(P, P, 0.5 * dt, cfg)
+        if phys is not None and phys.mp is not None:
+            dU_h = dU_h + phys.mp_delta_U(P, P, 0.5 * dt, cfg, tau_in)
         Ph = cell_advance(P, dU_h, cfg)
         if glm:
             Ph = glm_psi_damp(Ph, 0.5 * dt, ch, cfg, geom)
+        if phys is not None and phys.winds:
+            Ph = phys.apply_internal_bcs(Ph, t0 + 0.5 * dt)
+
+        # columns handed to the child (lagged by a half step, like the
+        # reference's boundary-data Tau: RT runs before the C2F send,
+        # sim_control_NG.cpp:653-656)
+        tau_child = (self._child_tau_offsets(level, Ph, tau_in)
+                     if level + 1 < self.n_levels else None)
 
         # first fine substep (C2F ghosts frozen at this level's Ph)
         fine_sums_1 = None
         if level + 1 < self.n_levels:
-            fine_sums_1 = self._advance_level(level + 1, 0.5 * dt, Ph)
+            fine_sums_1 = self._advance_level(level + 1, 0.5 * dt, Ph,
+                                              tau_child, t0)
 
         # corrector (2nd-order space), keep face fluxes
         Ppad = self._pad_level(level, Ph, parent_state)
         dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch)
-        if self.physics is not None:
-            dU_f = dU_f + self.physics.mp_delta_U(P, Ph, dt, cfg)
+        if phys is not None and phys.mp is not None:
+            dU_f = dU_f + phys.mp_delta_U(P, Ph, dt, cfg, tau_in)
 
         # second fine substep
         fine_sums_2 = None
         if level + 1 < self.n_levels:
-            fine_sums_2 = self._advance_level(level + 1, 0.5 * dt, Ph)
+            fine_sums_2 = self._advance_level(level + 1, 0.5 * dt, Ph,
+                                              tau_child, t0 + 0.5 * dt)
 
         # BC89: correct this level's dU with the fine fluxes
         if level + 1 < self.n_levels:
@@ -278,6 +352,15 @@ class NGHierarchy:
         P_new = cell_advance(P, dU_f, cfg)
         if glm:
             P_new = glm_psi_damp(P_new, dt, ch, cfg, geom)
+        if phys is not None and phys.mp is not None:
+            # temperature ceiling (reference: grid_update_state_vector
+            # clamps, time_integrator.cpp:881-940)
+            T = phys.mp.temperature(P_new, cfg)
+            P_new = jnp.where(T > cfg.max_temperature,
+                              phys.mp.set_temp(P_new, cfg.max_temperature,
+                                               cfg), P_new)
+        if phys is not None and phys.winds:
+            P_new = phys.apply_internal_bcs(P_new, t0 + dt)
 
         # F2C restriction
         if level + 1 < self.n_levels:

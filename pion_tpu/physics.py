@@ -62,9 +62,36 @@ class Physics:
             return rho * 5.348e-22 * Z / mpc.mean_mass_per_h * ds
         raise ValueError(f"unknown source effect {src.effect}")
 
-    def raytrace(self, Ph) -> Dict:
+    def for_level(self, cfg: SimConfig, geom: Geometry) -> "Physics":
+        """Clone bound to one nested-grid level: same chemistry module and
+        source list, per-level tracer geometry and wind masks (reference:
+        setup_raytracing is called per level, sim_control_NG.cpp:138)."""
+        return Physics(mp=self.mp, sources=self.sources,
+                       dt_limit=self.dt_limit,
+                       wind_sources=self.wind_sources).setup(cfg, geom)
+
+    def trace_taus(self, Ph, tau_in: Optional[Dict] = None) -> Dict:
+        """Per-source entry optical depths (incl. any upstream offsets) —
+        used by the NG driver to hand columns down to child levels
+        (reference: NG C2F boundary data carries Tau/dTau extra_data)."""
+        out: Dict = {}
+        for i, src in enumerate(self.sources):
+            if src.at_infinity:
+                ds0 = jnp.full_like(Ph[RO], self.raytracer.geom.dx)
+            else:
+                ds0 = jnp.asarray(self.raytracer.point_tracers[i].ds)
+            dtau = self.dtau_for(src, Ph, ds0)
+            tau, _, _ = self.raytracer.trace_source(i, dtau)
+            if tau_in is not None and i in tau_in:
+                tau = tau + tau_in[i]
+            out[i] = tau
+        return out
+
+    def raytrace(self, Ph, tau_in: Optional[Dict] = None) -> Dict:
         """Trace all sources through the current state; assemble the rt dict
-        (reference: setup_radiation_source_parameters, MPv3.cpp:1431-1516)."""
+        (reference: setup_radiation_source_parameters, MPv3.cpp:1431-1516).
+        ``tau_in`` optionally adds per-source upstream column offsets (for
+        nested-grid levels whose domain does not reach the ray origin)."""
         rt: Dict = {}
         g0_uv = None
         g0_ir = None
@@ -75,9 +102,22 @@ class Physics:
                 ds0 = jnp.asarray(self.raytracer.point_tracers[i].ds)
             dtau = self.dtau_for(src, Ph, ds0)
             tau, ds, vshell = self.raytracer.trace_source(i, dtau)
+            if tau_in is not None and i in tau_in:
+                tau = tau + tau_in[i]
+            # f32-safe rate factors: Ndot (~1e48/s) and Vshell (~1e51 cm^3)
+            # each overflow float32, but their ratio is representable.
+            # Compute on host at f64 from the static tracer geometry.
+            if src.at_infinity:
+                vsh_np = np.float64(self.raytracer.geom.dx)
+            else:
+                vsh_np = self.raytracer.point_tracers[i].vshell
+            nv = jnp.asarray(np.float64(src.strength) / vsh_np)
             if src.effect in ("mono", "mfion"):
+                ls = getattr(self.mp, "rate_scale_log", 0.0)
+                sv = jnp.asarray(
+                    np.exp(np.log(10.0) * (ls - np.log10(vsh_np))))
                 rt.update(tau0=tau, ds=ds, vshell=vshell,
-                          n_idot=src.strength)
+                          n_idot=src.strength, nv=nv, sv=sv)
             else:  # uv_heating (Henney+09 A3/A6 attenuation; /1.2e7 norm)
                 if src.at_infinity:
                     # diffuse field: solid-angle weighted
@@ -96,7 +136,7 @@ class Physics:
                         angle = 1.0
                     flux = src.strength * angle
                 else:
-                    flux = src.strength * ds / vshell
+                    flux = nv * ds
                 uv = flux * jnp.exp(-1.90 * tau)
                 ir = flux * jnp.exp(-0.05 * tau)
                 g0_uv = uv if g0_uv is None else g0_uv + uv
@@ -110,19 +150,19 @@ class Physics:
         rt["g0_ir"] = (g0_ir / 1.2e7) if g0_ir is not None else z
         return rt
 
-    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig):
+    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig, tau_in=None):
         """Conserved-variable increment from the chemistry update
         (reference: calc_RT_microphysics_dU — dU += U(p_out)-U(p_in),
         time_integrator.cpp:430-497; base state is P, columns from Ph)."""
         from .ops.eqns import prim_to_cons
 
-        rt = self.raytrace(Ph) if self.sources else None
+        rt = self.raytrace(Ph, tau_in) if self.sources else None
         P_new = (self.mp._update_impl(P, dt, cfg, rt) if rt is not None
                  else self.mp._update_impl(P, dt, cfg, self.mp.default_rt(P)))
         return prim_to_cons(P_new, cfg) - prim_to_cons(P, cfg)
 
-    def timescale(self, P, cfg: SimConfig):
-        rt = self.raytrace(P) if self.sources else None
+    def timescale(self, P, cfg: SimConfig, tau_in=None):
+        rt = self.raytrace(P, tau_in) if self.sources else None
         if rt is None:
             rt = self.mp.default_rt(P)
         return self.mp._timescales_impl(P, cfg, rt)

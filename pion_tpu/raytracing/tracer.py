@@ -287,4 +287,10 @@ class Raytracer:
             return parallel_rays(dtau, s.axis, s.sign, self.geom.dx)
         tr = self.point_tracers[i]
         tau = tr.trace(dtau)
-        return tau, jnp.asarray(tr.ds), jnp.asarray(tr.vshell)
+        vs = tr.vshell
+        if not jax.config.jax_enable_x64:
+            # raw shell volumes (~1e51 cm^3) overflow f32; rate factors use
+            # the host-precomputed Ndot/Vshell instead (physics.raytrace),
+            # so the clipped value is only a diagnostic
+            vs = np.minimum(vs, 3.0e38)
+        return tau, jnp.asarray(tr.ds), jnp.asarray(vs)

@@ -125,3 +125,130 @@ def test_ng_shocktube_vs_uniform():
     uni = np.asarray(sim.P[RO])[n // 2 : 3 * n // 2]
     l1 = np.mean(np.abs(fine - uni)) / np.mean(uni)
     assert l1 < 0.02, f"NG-vs-uniform L1 {l1}"
+
+
+# ---------------------------------------------------------------------------
+# Raytracing on nested grids (reference: sim_control_NG.cpp RT_all_sources_levels)
+# ---------------------------------------------------------------------------
+
+def test_ng_infinity_source_tau_handdown():
+    """A source at infinity shining along +x: the child level's entry-column
+    offset must equal the coarse column from the global edge to the child
+    boundary, so the composed fine tau matches the global cumsum."""
+    from pion_tpu.constants import Coord, K_B, M_P
+    from pion_tpu.microphysics.mpv7 import MPv7, MPv7Config
+    from pion_tpu.physics import Physics
+    from pion_tpu.raytracing import Source
+
+    n = 32
+    L = 3.0856775807e18
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, ntracer=1, coords=Coord.CARTESIAN,
+                    solver="hll", shape=(n, n), xmin=(0.0, 0.0), xmax=(L, L),
+                    bcs=(("outflow", "outflow"), ("outflow", "outflow")),
+                    cfl=0.3, tmax=1.0)
+    mpc = MPv7Config(tracer_slot=5, ion_src="mono", n_idot=1e48)
+    mp = MPv7(mpc)
+    src = Source(at_infinity=True, axis=1, sign=1, strength=1.0e10,
+                 effect="mono")
+    phys = Physics(mp=mp, sources=[src], dt_limit=False)
+    hier = NGHierarchy(cfg, 2, physics=phys)
+
+    nH = 100.0
+    states = []
+    for l in range(2):
+        P = np.zeros((cfg.nvar,) + cfg.shape)
+        P[RO] = nH * M_P
+        P[PG] = nH * K_B * 100.0
+        P[5] = 1e-12  # neutral
+        states.append(jnp.asarray(P))
+    hier.set_states(states)
+
+    # offsets for the child from the root level
+    offs = hier._child_tau_offsets(0, hier.P[0], None)
+    assert offs is not None and 0 in offs
+    # composed fine tau vs global analytic column (uniform medium):
+    # tau(x) = rho/mh_per_H * sigma0 * (1-x_ion) * x  with x from global edge
+    taus_f = hier.phys[1].trace_taus(hier.P[1], offs)
+    tau_f = np.asarray(taus_f[0])
+    from pion_tpu.microphysics.mpv3 import SIGMA0
+    xpos = hier.cfgs[1].cell_centers(1)   # fine-level x coordinates
+    kappa = nH * M_P * (1.0 - 1e-12) / mpc.mean_mass_per_h * SIGMA0 / M_P * M_P
+    # entry tau of fine cell = kappa * (x - dx_f/2) measured from x=0 globally
+    dx_f = hier.geoms[1].dx
+    expect = kappa * (xpos - 0.5 * dx_f)
+    np.testing.assert_allclose(tau_f[0, :], expect, rtol=1e-6)
+    # and every row identical (plane wave)
+    np.testing.assert_allclose(tau_f, np.broadcast_to(tau_f[0], tau_f.shape),
+                               rtol=1e-12)
+
+
+def test_ng_hii_region_point_source():
+    """R-type HII region on a 2-level stack: the ionization front must be
+    (a) finite and roughly circular on both levels, (b) consistent between
+    the fine level and the restricted coarse overlap, (c) close to the
+    uniform-grid result at the same (coarse) resolution."""
+    from pion_tpu.constants import Coord, K_B, M_P
+    from pion_tpu.microphysics.mpv7 import MPv7, MPv7Config
+    from pion_tpu.physics import Physics
+    from pion_tpu.raytracing import Source
+
+    nH = 1000.0
+    ndot = 3.0e48
+    alpha = 2.7e-13
+    r_s = (3.0 * ndot / (4.0 * np.pi * alpha * nH * nH)) ** (1.0 / 3.0)
+    n = 64
+    rmax = 2.4 * r_s
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, ntracer=1, coords=Coord.CARTESIAN,
+                    solver="hll", shape=(n, n), xmin=(-rmax, -rmax),
+                    xmax=(rmax, rmax),
+                    bcs=(("outflow", "outflow"), ("outflow", "outflow")),
+                    cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=1.0)
+    mpc = MPv7Config(tracer_slot=5, ion_src="mono", n_idot=ndot,
+                     recomb_rate=alpha, t_lo=100.0, t_hi=1.0e4)
+
+    def build_states(cfgs):
+        out = []
+        for c in cfgs:
+            P = np.zeros((c.nvar,) + c.shape)
+            P[RO] = nH * M_P / mpc.x_frac
+            P[PG] = nH * K_B * 100.0
+            P[5] = 1e-12
+            out.append(jnp.asarray(P))
+        return out
+
+    def physics():
+        return Physics(mp=MPv7(mpc),
+                       sources=[Source(position=(0.0, 0.0), strength=ndot,
+                                       effect="mono")],
+                       dt_limit=False)
+
+    # recombination time and a fraction of it (R-type phase)
+    t_rec = 1.0 / (alpha * nH)
+    t_end = 0.35 * t_rec
+
+    hier = NGHierarchy(cfg, 2, physics=physics())
+    hier.set_states(build_states(hier.cfgs))
+    hier.run(tmax=t_end, max_steps=400)
+    for l in range(2):
+        assert np.all(np.isfinite(np.asarray(hier.P[l]))), f"level {l} NaN"
+
+    sim = Simulation(cfg, build_states([cfg])[0], physics=physics())
+    sim.run(tmax=t_end, max_steps=400)
+
+    # front radius along +x from the fine level vs UG
+    def front_radius(P, c):
+        x = np.asarray(P[5])
+        mid = c.shape[0] // 2
+        row = x[mid, c.shape[1] // 2:]
+        r = c.cell_centers(1)[c.shape[1] // 2:] if c.xmin[1] < 0 else None
+        xs = c.cell_centers(1)
+        xs = xs[xs > 0] if c.xmin[1] < 0 else xs
+        idx = np.argmax(row < 0.5)
+        return xs[idx]
+
+    rf_fine = front_radius(hier.P[1], hier.cfgs[1])
+    rf_ug = front_radius(sim.P, cfg)
+    assert abs(rf_fine - rf_ug) / rf_ug < 0.25, (rf_fine, rf_ug)
+    # the coarse overlap (restricted from fine) agrees with the fine front
+    rf_coarse = front_radius(hier.P[0], hier.cfgs[0])
+    assert abs(rf_coarse - rf_fine) / rf_fine < 0.25, (rf_coarse, rf_fine)
