@@ -289,17 +289,21 @@ class NGHierarchy:
             dt0 = min(dt0, self.cfgs[0].max_dt_growth * self.last_dt)
         return dt0
 
-    def _advance_level(self, level: int, dt: float, parent_state=None,
-                       tau_in=None, t0: float = None):
+    def _advance_level(self, level: int, dt, parent_state=None,
+                       tau_in=None, t0=None, states=None):
         """One OA2 step of `level` with two recursive substeps of level+1.
         Returns the time-summed restricted boundary-plane fluxes for the
         parent's BC89 correction (reference: sim_control_NG.cpp:679-810).
         ``tau_in``: per-source upstream column offsets handed down by the
-        parent (sources at infinity only)."""
+        parent (sources at infinity only).  ``states``: mutable list the
+        recursion reads/writes (traced values under jit); defaults to
+        ``self.P`` for the eager path."""
+        if states is None:
+            states = self.P
         cfg = self.cfgs[level]
         geom = self.geoms[level]
         phys = self.phys[level]
-        P = self.P[level]
+        P = states[level]
         glm = cfg.eqn is Eqn.GLM
         ch = cfg.cfl * geom.dx / dt if glm else None
         if t0 is None:
@@ -326,7 +330,7 @@ class NGHierarchy:
         fine_sums_1 = None
         if level + 1 < self.n_levels:
             fine_sums_1 = self._advance_level(level + 1, 0.5 * dt, Ph,
-                                              tau_child, t0)
+                                              tau_child, t0, states)
 
         # corrector (2nd-order space), keep face fluxes
         Ppad = self._pad_level(level, Ph, parent_state)
@@ -338,7 +342,8 @@ class NGHierarchy:
         fine_sums_2 = None
         if level + 1 < self.n_levels:
             fine_sums_2 = self._advance_level(level + 1, 0.5 * dt, Ph,
-                                              tau_child, t0 + 0.5 * dt)
+                                              tau_child, t0 + 0.5 * dt,
+                                              states)
 
         # BC89: correct this level's dU with the fine fluxes
         if level + 1 < self.n_levels:
@@ -364,8 +369,8 @@ class NGHierarchy:
 
         # F2C restriction
         if level + 1 < self.n_levels:
-            P_new = self._restrict(P_new, self.P[level + 1], level + 1)
-        self.P[level] = P_new
+            P_new = self._restrict(P_new, states[level + 1], level + 1)
+        states[level] = P_new
 
         # boundary-plane fluxes of this level, restricted to parent faces
         if level == 0:
@@ -380,9 +385,26 @@ class NGHierarchy:
             out.append((lo, hi))
         return out
 
-    def step(self) -> float:
-        dt = self.compute_dt()
-        self._advance_level(0, dt)
+    def _step_fn(self):
+        """The whole level recursion jitted as ONE pure function
+        (states, dt, t) -> states: the fixed 2:1 subcycling unrolls at trace
+        time, so XLA sees a single static program per step (SURVEY.md §7:
+        'unroll the level recursion over per-level jitted steps' — fusing
+        the full recursion beats per-level jit by removing every host
+        round-trip between substeps)."""
+        if "step" not in self._jit_cache:
+            def whole(states, dt, t):
+                st = list(states)
+                self._advance_level(0, dt, t0=t, states=st)
+                return tuple(st)
+
+            self._jit_cache["step"] = jax.jit(whole)
+        return self._jit_cache["step"]
+
+    def step(self, dt: float = None) -> float:
+        if dt is None:
+            dt = self.compute_dt()
+        self.P = list(self._step_fn()(tuple(self.P), dt, self.t))
         self.t += dt
         self.last_dt = dt
         self.step_count += 1
@@ -390,10 +412,6 @@ class NGHierarchy:
 
     def run(self, tmax: float, max_steps: int = 10**9):
         while self.t < tmax * (1 - 1e-12) and self.step_count < max_steps:
-            dt = self.compute_dt()
-            dt = min(dt, tmax - self.t)
-            self._advance_level(0, dt)
-            self.t += dt
-            self.last_dt = dt
-            self.step_count += 1
+            dt = min(self.compute_dt(), tmax - self.t)
+            self.step(dt)
         return self
