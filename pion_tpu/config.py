@@ -66,6 +66,10 @@ class SimConfig:
     # HLLD->HLL switch in compressive strong-gradient zones (Mignone+ 2011;
     # reference behavior).  Disable to trade robustness for ~25% step speed.
     hlld_fallback: bool = True
+    # Slavin & Cox (1992) saturated thermal conduction (reference:
+    # #define THERMAL_CONDUCTION, defines/functionality_flags.h:90 —
+    # off by default upstream too)
+    conduction: bool = False
 
     # time control
     tmax: float = 1.0

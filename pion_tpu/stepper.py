@@ -68,6 +68,17 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
         dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
     if physics is not None and physics.mp is not None:
         dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)
+    if cfg.conduction:
+        from .constants import K_B, M_P, RO as _RO, PG as _PG
+        from .ops.conduction import conduction_Edot
+
+        if physics is not None and physics.mp is not None:
+            Tpad = physics.mp.temperature(Ppad, cfg)
+        else:
+            # grouped (p/rho)*(m_p/k_B): rho*k_B ~ 1e-42 cgs is subnormal
+            # and flushes to zero on TPU f32
+            Tpad = Ppad[_PG] / Ppad[_RO] * (M_P / K_B)
+        dU = dU.at[_PG].add(dt * conduction_Edot(Ppad, Tpad, cfg, geom))
     Pnew = cell_advance(P, dU, cfg)
     if cfg.eqn is Eqn.GLM:
         Pnew = glm_psi_damp(Pnew, dt, ch, cfg, geom)
@@ -120,6 +131,17 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
             # chemistry/cooling dt limit (reference: calc_timestep.cpp:342
             # calc_microphysics_dt with MP_timestep_limit)
             dt = jnp.minimum(dt, physics.timescale(P, cfg))
+        if cfg.conduction:
+            from .constants import K_B, M_P, RO as _RO, PG as _PG
+            from .ops.conduction import conduction_Edot, conduction_dt
+
+            Ppad = apply_bcs(P, cfg, bdata)
+            if physics is not None and physics.mp is not None:
+                Tpad = physics.mp.temperature(Ppad, cfg)
+            else:
+                Tpad = Ppad[_PG] / Ppad[_RO] * (M_P / K_B)
+            Edot = conduction_Edot(Ppad, Tpad, cfg, geom)
+            dt = jnp.minimum(dt, conduction_dt(P, Edot, cfg))
         return dt
 
     return StepFns(advance=_advance, calc_dt=_calc_dt)
