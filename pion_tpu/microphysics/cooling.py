@@ -69,6 +69,20 @@ def lambda_starbench(T):
         2.8e-28 * jnp.sqrt(T) * jnp.exp(-92.0 / T)
 
 
+def cooling_rate_ki02(T):
+    """Koyama & Inutsuka (2002) eq.4 cooling (with the Vazquez-Semadeni+07
+    typo corrections the reference applies; reference: cooling.cpp:379-397)."""
+    return (2.0e-19 * np.exp(-1.184e5 / (T + 1.0e3))
+            + 2.8e-28 * np.sqrt(T) * np.exp(-92.0 / T))
+
+
+# curve names follow the reference enum (reference: mp_only_cooling.h /
+# mp_only_cooling.cpp:383-411 Edot switch)
+COOLING_CURVES = ("KI02", "SD93_CIE", "SD93_PLUS_HEATING",
+                  "WSS09_CIE_ONLY_COOLING", "WSS09_CIE_PLUS_HEATING",
+                  "WSS09_CIE_LINE_HEAT_COOL")
+
+
 @dataclasses.dataclass(frozen=True)
 class CoolingConfig:
     gamma: float = 5.0 / 3.0
@@ -76,29 +90,51 @@ class CoolingConfig:
     min_temperature: float = 10.0
     max_temperature: float = 1.0e9
     mu: float = 0.61 * 1.0              # mean molecular weight (ionised)
+    # which Edot function (reference cooling_flag; the reference recommends
+    # WSS09_CIE_LINE_HEAT_COOL, mp_only_cooling.h:11-18)
+    curve: str = "SD93_CIE"
 
 
 class MPOnlyCooling(JitCachedMP):
-    """Optically-thin radiative cooling, no species tracking
-    (reference: mp_only_cooling.cpp; assumes fully-ionized solar gas).
+    """Optically-thin heating/cooling, no species tracking
+    (reference: mp_only_cooling.cpp; assumes fully-ionized solar gas with
+    Mu=1.40 m_p, Mu_elec=1.167 m_p, Mu_ion=1.273 m_p —
+    mp_only_cooling.cpp:81-87).
 
-    Rate: Edot = -n_e n_i Lambda_SD93(T); integrated with an exact
-    exponential-style implicit substep (vectorized)."""
+    Six selectable Edot functions (reference :383-411); all are tabulated
+    per-component on a log-T grid and combined at runtime from number
+    densities (never rho^2 ~ 1e-48, which is f32-subnormal)."""
 
     name = "mp_only_cooling"
 
+    MU = 1.40 * M_P
+    MU_ELEC = 1.167 * M_P
+    MU_ION = 1.273 * M_P
+
     def __init__(self, mpc: CoolingConfig):
+        assert mpc.curve in COOLING_CURVES, mpc.curve
         self.mpc = mpc
-        # dense lookup for runtime
+        # dense per-component lookups (reference: gen_mpoc_lookup_tables,
+        # mp_only_cooling.cpp:525-560)
         Tg = np.logspace(np.log10(mpc.min_temperature),
                          np.log10(mpc.max_temperature), 300)
         self.Tg = jnp.asarray(Tg)
-        self.Lg = jnp.asarray(cooling_rate_sd93_cie(Tg))
+        self.tab = {
+            "sd93": jnp.asarray(cooling_rate_sd93_cie(Tg)),
+            "ki02": jnp.asarray(cooling_rate_ki02(Tg)),
+            "heat": jnp.asarray(2.733e-21 * np.exp(-0.782991 * np.log(Tg))),
+            "rrhp": jnp.asarray(TB.hii_rad_recomb_rate(Tg)),
+            "C_rrh": jnp.asarray(TB.hii_total_cooling(Tg)),
+            "C_ffhe": jnp.asarray(6.72e-28 * np.sqrt(Tg)),
+            "C_fbdn": jnp.asarray(
+                1.20e-22 * np.exp(-33610.0 / Tg - (2180.0 / Tg) ** 2)
+                * np.exp(-Tg * Tg / 5.0e10)),
+        }
 
     def _nT(self, P):
         mu_mass = self.mpc.mu * M_P
         n = P[RO] / mu_mass
-        T = P[PG] / (n * K_B)
+        T = P[PG] / P[RO] * (mu_mass / K_B)
         return n, T
 
     def temperature(self, P, cfg: SimConfig):
@@ -108,20 +144,53 @@ class MPOnlyCooling(JitCachedMP):
         n, _ = self._nT(P)
         return P.at[PG].set(n * K_B * T)
 
+    # -- the Edot menu (reference: mp_only_cooling.cpp:383-520) -------------
+    def edot(self, rho, T):
+        """Net heating-cooling rate [erg/cm^3/s] for the configured curve."""
+        Tc = jnp.clip(T, self.mpc.min_temperature, self.mpc.max_temperature)
+
+        def f(name):
+            return _interp1(self.Tg, self.tab[name], Tc)
+
+        ne = rho / self.MU_ELEC
+        ni = rho / self.MU_ION
+        nmu = rho / self.MU
+        cv = self.mpc.curve
+        if cv == "KI02":
+            return 2.0e-26 * nmu - nmu * nmu * f("ki02")
+        if cv == "SD93_CIE":
+            return -ne * ni * f("sd93")
+        if cv == "SD93_PLUS_HEATING":
+            return ne * nmu * f("heat") - ne * ni * f("sd93")
+        if cv == "WSS09_CIE_ONLY_COOLING":
+            # (reference :545-552: KI02-style 2e-26 n heating + CIE cooling)
+            return 2.0e-26 * nmu - nmu * nmu * f("sd93")
+        if cv == "WSS09_CIE_PLUS_HEATING":
+            return ne * nmu * f("heat") - nmu * nmu * f("sd93")
+        # WSS09_CIE_LINE_HEAT_COOL (recommended upstream): strongest of the
+        # Henney+09 forbidden-line and CIE rates, plus H recomb/Brems cooling,
+        # He Brems, and 5 eV/recombination photoheating (reference :489-520)
+        rate = jnp.minimum(-f("C_fbdn") * ne * nmu,
+                           -f("sd93") * nmu * nmu)
+        rate = rate - f("C_rrh") * ne * nmu
+        rate = rate - f("C_ffhe") * ne * nmu
+        rate = rate + 8.01e-12 * f("rrhp") * ne * nmu
+        return rate
+
     def _update_impl(self, P, dt, cfg: SimConfig, rt: Dict):
         mpc = self.mpc
-        n, T = self._nT(P)
+        n, _ = self._nT(P)
         E = P[PG] / (mpc.gamma - 1.0)
-        # sub-cycled implicit cooling: 8 substeps of E' = E/(1+dt*L/E)
+        # sub-cycled semi-implicit update: cooling damped implicitly
+        # E' = E/(1+h|Edot|/E), heating explicit (both A-stable here)
         h = dt / 8.0
         for _ in range(8):
-            T = jnp.clip(P[PG] * 0 + E * (mpc.gamma - 1.0) / (n * K_B),
-                         mpc.min_temperature, mpc.max_temperature)
-            lam = _interp1(self.Tg, self.Lg, T)
-            rate = n * n * lam          # erg/cm^3/s
-            E = E / (1.0 + h * rate / E)
+            T = E * (mpc.gamma - 1.0) / (n * K_B)
+            ed = self.edot(P[RO], T)
+            E = jnp.where(ed >= 0.0, E + h * ed, E / (1.0 - h * ed / E))
         E_floor = n * K_B * mpc.min_temperature / (mpc.gamma - 1.0)
-        E = jnp.maximum(E, E_floor)
+        E_ceil = n * K_B * mpc.max_temperature / (mpc.gamma - 1.0)
+        E = jnp.clip(E, E_floor, E_ceil)
         return P.at[PG].set(E * (mpc.gamma - 1.0))
 
     def default_rt(self, P):
@@ -131,9 +200,8 @@ class MPOnlyCooling(JitCachedMP):
         mpc = self.mpc
         n, T = self._nT(P)
         E = P[PG] / (mpc.gamma - 1.0)
-        lam = _interp1(self.Tg, self.Lg,
-                       jnp.clip(T, mpc.min_temperature, mpc.max_temperature))
-        t_cool = E / (n * n * lam + 1e-100)
+        ed = jnp.abs(self.edot(P[RO], T))
+        t_cool = E / (ed + 1e-100)
         return 0.3 * jnp.min(t_cool)
 
 

@@ -164,3 +164,53 @@ def test_mpv8_heating_cooling_balance():
     # should approach the low equilibrium temperature
     assert 40.0 < T < 5000.0
     assert np.isfinite(T)
+
+
+def test_cooling_curve_menu():
+    """All six mp_only_cooling Edot functions (reference:
+    mp_only_cooling.cpp:383-411): signs and equilibria behave physically and
+    every curve integrates stably."""
+    from pion_tpu.microphysics.cooling import (COOLING_CURVES, CoolingConfig,
+                                               MPOnlyCooling)
+    from pion_tpu.constants import M_P as MP_
+
+    rho = 1.0 * MP_ * 1.4   # n_mu = 1
+    for cv in COOLING_CURVES:
+        mp = MPOnlyCooling(CoolingConfig(curve=cv, min_temperature=5.0))
+        # hot gas always cools
+        ed_hot = float(mp.edot(jnp.asarray(rho), jnp.asarray(1.0e7)))
+        assert ed_hot < 0.0, cv
+        # curves with heating terms must heat very cold dilute gas
+        if cv in ("KI02", "WSS09_CIE_ONLY_COOLING"):
+            ed_cold = float(mp.edot(jnp.asarray(rho * 1e-4),
+                                    jnp.asarray(10.0)))
+            assert ed_cold > 0.0, cv
+        # stable integration from 1e6 K
+        cfg = SimConfig(ndim=1, shape=(8,), xmin=(0.0,), xmax=(1.0,),
+                        bcs=(("outflow", "outflow"),))
+        P = np.zeros((cfg.nvar, 8))
+        P[RO] = rho
+        n = rho / (mp.mpc.mu * MP_)
+        P[PG] = n * 1.380649e-16 * 1.0e6
+        out = np.asarray(mp._update_impl(jnp.asarray(P), 3.156e13, cfg, {}))
+        assert np.all(np.isfinite(out)), cv
+        T_out = float(mp.temperature(jnp.asarray(out), cfg)[0])
+        assert T_out < 1.0e6, f"{cv}: hot gas did not cool ({T_out})"
+
+
+def test_ki02_equilibrium_two_phase():
+    """KI02 has the classic two-phase equilibrium: heating/cooling balance
+    gives T_eq decreasing with density."""
+    from pion_tpu.microphysics.cooling import CoolingConfig, MPOnlyCooling
+    from pion_tpu.constants import M_P as MP_
+    mp = MPOnlyCooling(CoolingConfig(curve="KI02", min_temperature=5.0))
+
+    def teq(n):
+        rho = n * 1.4 * MP_
+        Ts = np.logspace(0.8, 4.5, 400)
+        ed = np.array([float(mp.edot(jnp.asarray(rho), jnp.asarray(t)))
+                       for t in Ts])
+        i = np.argmax(ed < 0)    # first T where cooling wins
+        return Ts[i]
+
+    assert teq(100.0) < teq(1.0) < teq(0.01)
