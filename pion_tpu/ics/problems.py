@@ -170,3 +170,98 @@ def add_noise(P: np.ndarray, cfg: SimConfig, amplitude: float,
     elif kind == "density":
         out[RO] *= noise
     return out
+
+
+def laser_ablation(cfg: SimConfig, vel0=0.0, rho0=1.0, dratio=100.0,
+                   p0=1.0, pratio=100.0, bx0=0.0, bt0=0.0) -> np.ndarray:
+    """Laser-ablation slab: dense driver for x<0.0025 cm, linear ramp over
+    y in [0.04, 0.06] cm, dilute ambient elsewhere (reference:
+    ics/laser_ablation.cpp:169-233 setup_LaserAblationAxi; the 3D variant
+    is an empty stub upstream, :240).  Axes: x = symmetry axis (fast/last),
+    y = cylindrical radius (first)."""
+    assert cfg.ndim == 2
+    Y, X = _mesh(cfg)
+    r1 = rho0 / dratio
+    p1 = p0 / pratio
+    P = np.zeros((cfg.nvar,) + cfg.shape, cfg.np_dtype)
+    slab = X < 0.0025
+    ramp = slab & (Y >= 0.04) & (Y < 0.06)
+    core = slab & (Y < 0.04)
+    P[RO] = np.where(core, rho0,
+                     np.where(ramp, rho0 + 50.0 * (r1 - rho0) * (Y - 0.04),
+                              r1))
+    P[PG] = np.where(core, p0,
+                     np.where(ramp, p0 + 50.0 * (p1 - p0) * (Y - 0.04), p1))
+    P[VX] = vel0
+    if cfg.eqn.is_mhd:
+        P[BX] = bx0
+        P[BY] = bt0
+    if cfg.ntracer:
+        P[cfg.tracer_slice.start] = np.where(slab, 1.0, 0.0)
+    return P
+
+
+def map_1d_to_2d(radius: np.ndarray, data: np.ndarray,
+                 cfg2d: SimConfig) -> np.ndarray:
+    """Map a 1D spherical profile onto a 2D axisymmetric grid (reference:
+    ics/read_1Dto2D.cpp get_data_vals: linear radial interpolation, VX of
+    the profile is the radial velocity, projected onto (z, R); MHD gets a
+    uniform weak 1e-8 G x-field, :61-75)."""
+    assert cfg2d.ndim == 2
+    nvar1 = data.shape[0]
+    Y, X = _mesh(cfg2d)   # Y = R_cyl, X = z (the symmetry axis)
+    r = np.sqrt(X * X + Y * Y)
+    r = np.maximum(r, 1.0e-12 * radius.max())
+    P = np.zeros((cfg2d.nvar,) + cfg2d.shape, cfg2d.np_dtype)
+    for v in range(min(nvar1, cfg2d.nvar)):
+        P[v] = np.interp(r, radius, data[v])
+    vr = P[VX].copy()
+    P[VX] = vr * X / r
+    P[VY] = vr * Y / r
+    P[VZ] = 0.0
+    if cfg2d.eqn.is_mhd:
+        P[BX] = 1.0e-8
+        P[BY] = 0.0
+        P[BZ] = 0.0
+    return P
+
+
+def from_turbulence_cube(cfg: SimConfig, rho_cube: np.ndarray,
+                         v_cubes=None, rho_mean=1.0, p0=1.0,
+                         v_rms=0.0) -> np.ndarray:
+    """Initial conditions from a (periodic) turbulence data cube — the
+    capability equivalent of the reference's ReadBBTurbulence generator
+    (reference: icgen_base.cpp dispatch + contrib/ Burkhart-cube shock-cloud
+    setups), generalized to accept ANY cube: the density (and optional
+    velocity) cubes are trilinearly resampled onto the grid, density is
+    rescaled to ``rho_mean`` and velocities to the requested rms."""
+    nd = cfg.ndim
+    assert rho_cube.ndim == nd
+    grids = np.meshgrid(*[np.linspace(0.0, s - 1.0, n)
+                          for s, n in zip(rho_cube.shape, cfg.shape)],
+                        indexing="ij")
+
+    def resample(cube):
+        from scipy.ndimage import map_coordinates
+        return map_coordinates(cube, np.stack([g.ravel() for g in grids]),
+                               order=1, mode="wrap").reshape(cfg.shape)
+
+    try:
+        rho = resample(rho_cube)
+        vs = [resample(v) for v in (v_cubes or [])]
+    except ImportError:  # no scipy: nearest-neighbor fallback
+        idx = tuple(np.clip(np.round(g).astype(int), 0, s - 1)
+                    for g, s in zip(grids, rho_cube.shape))
+        rho = rho_cube[idx]
+        vs = [v[idx] for v in (v_cubes or [])]
+    rho = rho * (rho_mean / rho.mean())
+    P = np.zeros((cfg.nvar,) + cfg.shape, cfg.np_dtype)
+    P[RO] = rho
+    P[PG] = p0
+    if vs:
+        rms = np.sqrt(np.mean(sum(v * v for v in vs)))
+        scale = v_rms / rms if rms > 0 else 0.0
+        # cube axis order (z,y,x...) matches array order; VX is last axis
+        for k, v in enumerate(vs):
+            P[VX + k] = v * scale if k < 3 else P[VX + k]
+    return P

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from pion_tpu import Eqn, SimConfig, Simulation
 from pion_tpu.boundaries import BoundaryData
-from pion_tpu.constants import PG, RO, VX
+from pion_tpu.constants import PG, RO, VX, VY, VZ, Coord
 from pion_tpu.ics import (
     double_mach_reflection,
     jet_ambient,
@@ -117,3 +117,73 @@ def test_shock_cloud():
     assert np.all(np.isfinite(out))
     # the cloud is being compressed: max density above both initial values
     assert out[RO].max() > 1.05 * P0[RO].max()
+
+
+def test_laser_ablation_ic():
+    from pion_tpu.ics.problems import laser_ablation
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, coords=Coord.CYLINDRICAL,
+                    solver="hll", shape=(64, 64), xmin=(0.0, 0.0),
+                    xmax=(0.08, 0.01), ntracer=1,
+                    bcs=(("axisymmetric", "outflow"),
+                         ("reflecting", "outflow")))
+    P = laser_ablation(cfg, vel0=1.0e5, rho0=1.0, dratio=100.0,
+                       p0=1.0e10, pratio=100.0)
+    assert np.all(np.isfinite(P))
+    # dense slab at small x, small y; dilute ambient at large y
+    assert P[RO][0, 0] == 1.0
+    assert abs(P[RO][-1, -1] - 0.01) < 1e-12
+    # ramp is monotone in y between 0.04 and 0.06
+    y = cfg.cell_centers(0)
+    sel = (y >= 0.04) & (y < 0.06)
+    col = P[RO][sel, 0]
+    assert np.all(np.diff(col) <= 0)
+
+
+def test_map_1d_to_2d_spherical_profile():
+    """A 1D spherical wind profile maps onto the 2D axisymmetric grid with
+    radial velocity projection (reference: read_1Dto2D.cpp)."""
+    from pion_tpu.ics.problems import map_1d_to_2d
+    cfg1 = SimConfig(ndim=1, coords=Coord.SPHERICAL, solver="hll",
+                     shape=(256,), xmin=(0.0,), xmax=(1.0,),
+                     bcs=(("reflecting", "outflow"),))
+    r = np.linspace(1e-3, 1.45, 400)
+    nvar = 5
+    data = np.zeros((nvar, r.size))
+    data[RO] = 1.0 / r**2
+    data[PG] = 1.0 / r**(10.0 / 3.0)
+    data[VX] = 2.0         # radial velocity
+    cfg2 = SimConfig(ndim=2, coords=Coord.CYLINDRICAL, solver="hll",
+                     shape=(64, 64), xmin=(0.0, -1.0), xmax=(1.0, 1.0),
+                     bcs=(("axisymmetric", "outflow"),
+                          ("outflow", "outflow")))
+    P = map_1d_to_2d(r, data, cfg2)
+    assert np.all(np.isfinite(P))
+    Y, X = np.meshgrid(cfg2.cell_centers(0), cfg2.cell_centers(1),
+                       indexing="ij")
+    d = np.hypot(X, Y)
+    sel = (d > 0.2) & (d < 0.9)
+    np.testing.assert_allclose(P[RO][sel], 1.0 / d[sel] ** 2, rtol=5e-3)
+    # velocity is radial with magnitude 2
+    vmag = np.hypot(P[VX], P[VY])
+    np.testing.assert_allclose(vmag[sel], 2.0, rtol=1e-6)
+    np.testing.assert_allclose((P[VX] * Y - P[VY] * X)[sel] / d[sel], 0.0,
+                               atol=1e-10)
+
+
+def test_from_turbulence_cube():
+    from pion_tpu.ics.problems import from_turbulence_cube
+    rng = np.random.default_rng(7)
+    cube = np.exp(rng.normal(size=(32, 32, 32)))
+    vx = rng.normal(size=(32, 32, 32))
+    vy = rng.normal(size=(32, 32, 32))
+    vz = rng.normal(size=(32, 32, 32))
+    cfg = SimConfig(ndim=3, solver="hll", shape=(48, 48, 48),
+                    xmin=(0.0,) * 3, xmax=(1.0,) * 3,
+                    bcs=(("periodic", "periodic"),) * 3)
+    P = from_turbulence_cube(cfg, cube, v_cubes=[vz, vy, vx][::-1],
+                             rho_mean=2.0, p0=0.5, v_rms=3.0)
+    assert np.all(np.isfinite(P))
+    np.testing.assert_allclose(P[RO].mean(), 2.0, rtol=1e-12)
+    rms = np.sqrt((P[VX] ** 2 + P[VY] ** 2 + P[VZ] ** 2).mean())
+    np.testing.assert_allclose(rms, 3.0, rtol=1e-12)
+    assert P[RO].min() > 0
