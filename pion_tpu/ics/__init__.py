@@ -13,9 +13,26 @@ from .problems import (  # noqa: F401
     double_mach_reflection,
     jet_ambient,
     jet_state,
+    from_turbulence_cube,
     kelvin_helmholtz,
+    laser_ablation,
     liska_wendroff_implosion,
+    map_1d_to_2d,
+    photoevap_paralleltest,
+    photoevap_powerlaw,
+    photoevap_radial,
+    radiative_shock,
+    radiative_shock_outflow,
     random_clumps,
     shock_cloud,
     spherical_clump,
+    uniform,
+)
+from .starbench import (  # noqa: F401
+    cone,
+    contact_discontinuity,
+    ifi_test,
+    irradiated_cloud,
+    planar_if,
+    tremblin_cooling,
 )

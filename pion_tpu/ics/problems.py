@@ -265,3 +265,133 @@ def from_turbulence_cube(cfg: SimConfig, rho_cube: np.ndarray,
         for k, v in enumerate(vs):
             P[VX + k] = v * scale if k < 3 else P[VX + k]
     return P
+
+
+def radiative_shock(cfg: SimConfig, vsh=1.0e7, rho0=1.0e-22, T0=1.0e4,
+                    B0=0.0, x_ion=0.101, mu=1.27,
+                    tracers=None) -> np.ndarray:
+    """Radiative shock: fast cold flow onto a reflecting wall
+    (reference: ics/radiative_shock.cpp setup_RadiativeShock :151-192).
+
+    Uniform gas of density ``rho0`` at temperature ``T0`` flows in -x
+    at the shock speed ``vsh``; the wall (x=0 reflecting BC) launches
+    the radiative shock.  ``mu`` is the mean mass per particle in
+    proton masses; pg = rho (1+x) kB T / (mu m_p).  ``B0`` sets a
+    transverse By for the MHD variant.
+    """
+    from ..constants import K_B, M_P
+
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    P[RO] = rho0
+    P[PG] = rho0 * (1.0 + x_ion) * K_B * T0 / (mu * M_P)
+    P[VX] = -vsh
+    if cfg.eqn.nbase > 5 and B0 != 0.0:
+        P[BY] = B0
+    ftr = cfg.eqn.nbase
+    for t in range(ftr, cfg.nvar):
+        P[t] = 0.5 if tracers is None else tracers[t - ftr]
+    return P
+
+
+def radiative_shock_outflow(cfg: SimConfig, vsh=1.0e7, rho0=1.0e-22,
+                            T0=1.0e4, mu=1.22, divisor=3.0,
+                            tr_up=None, tr_dn=None) -> np.ndarray:
+    """RadiativeShockOutflow: shock near the low-x outflow boundary
+    (reference: ics/radiative_shock.cpp setup_OutflowRadiativeShock
+    :201-300): upstream gas flows in -x onto a dense slab (isothermal
+    jump rho1 = rho0 M^2 / divisor) occupying the low-x fifth of the
+    domain, with a linear velocity ramp across a thin interface."""
+    from ..constants import K_B, M_P
+
+    xlo, xhi = cfg.xmin[-1], cfg.xmax[-1]
+    xboundary = (xhi - xlo) / 5.0
+    if vsh <= 1.01e7:
+        xboundary *= 2.5
+    ramp = (xhi - xlo) * 5.0 / cfg.shape[-1]
+
+    pg = rho0 * K_B * T0 / (mu * M_P)
+    mach0 = vsh / np.sqrt(cfg.gamma * pg / rho0)
+    rho1 = rho0 * mach0 * mach0 / divisor
+    pg1 = rho1 * K_B * T0 / (mu * M_P)
+
+    grids = np.meshgrid(*[cfg.cell_centers(ax) for ax in range(cfg.ndim)],
+                        indexing="ij")
+    X = grids[-1] - xlo
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    up = X >= xboundary + ramp
+    dn = X <= xboundary
+    mid = ~up & ~dn
+    frac = np.clip((X - xboundary) / ramp, 0.0, 1.0)
+    P[RO] = np.where(up, rho0, np.where(dn, rho1, rho1 + frac * (rho0 - rho1)))
+    P[PG] = np.where(up, pg, np.where(dn, pg1, pg1 + frac * (pg - pg1)))
+    P[VX] = np.where(up, -vsh, np.where(dn, 0.0, -vsh * frac))
+    ftr = cfg.eqn.nbase
+    for t in range(ftr, cfg.nvar):
+        u = 0.0 if tr_up is None else tr_up[t - ftr]
+        d = 0.0 if tr_dn is None else tr_dn[t - ftr]
+        P[t] = np.where(up, u, np.where(dn, d, d + frac * (u - d)))
+    return P
+
+
+def photoevap_radial(cfg: SimConfig, ambient, cloud_center,
+                     r0, radial_slope=2.0) -> np.ndarray:
+    """PhotoEvap_radial: uniform state with an isothermal power-law
+    envelope rho,pg ~ (r0/r)^slope for r>r0 from ``cloud_center``
+    (reference: ics/photoevaporating_clump.cpp setup_radialprofile
+    :680-745, following Iliev et al. 2009 test 6)."""
+    grids = np.meshgrid(*[cfg.cell_centers(ax) for ax in range(cfg.ndim)],
+                        indexing="ij")
+    dist = np.sqrt(sum((grids[i] - cloud_center[i]) ** 2
+                       for i in range(cfg.ndim)))
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    for v in range(cfg.nvar):
+        P[v] = ambient[v]
+    fac = np.where(dist > r0, (r0 / np.maximum(dist, 1e-30)) ** radial_slope,
+                   1.0)
+    P[RO] *= fac
+    P[PG] *= fac
+    return P
+
+
+def photoevap_powerlaw(cfg: SimConfig, ambient, rho0=9.352e-23,
+                       x0=3.086e18, xoffset=12.344e18,
+                       slope=3.0) -> np.ndarray:
+    """PhotoEvap_powerlaw: ambient state with rho = rho0 ((x+xoffset)/x0)^slope
+    along the x-axis (reference: ics/photoevaporating_clump.cpp
+    setup_powerlaw_density :541-580)."""
+    grids = np.meshgrid(*[cfg.cell_centers(ax) for ax in range(cfg.ndim)],
+                        indexing="ij")
+    X = grids[-1]
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    for v in range(cfg.nvar):
+        P[v] = ambient[v]
+    P[RO] = rho0 * ((X + xoffset) / x0) ** slope
+    return P
+
+
+def photoevap_paralleltest(cfg: SimConfig, ambient,
+                           factor=1.1) -> np.ndarray:
+    """PhotoEvap_paralleltest: ambient state with a geometric density/
+    pressure gradient along y — each row ``factor``x its -y neighbour
+    (reference: ics/photoevaporating_clump.cpp setup_paralleltest
+    :765-790); exercises parallel rays with varying absorption."""
+    assert cfg.ndim >= 2
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    for v in range(cfg.nvar):
+        P[v] = ambient[v]
+    ny = cfg.shape[-2]
+    grad = factor ** np.arange(ny)
+    shp = [1] * cfg.ndim
+    shp[-2] = ny
+    grad = grad.reshape(shp)
+    P[RO] = P[RO] * grad
+    P[PG] = P[PG] * grad
+    return P
+
+
+def uniform(cfg: SimConfig, state) -> np.ndarray:
+    """Uniform ambient state everywhere (reference: icgen 'Uniform')."""
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    for v in range(cfg.nvar):
+        P[v] = state[v]
+    return P
