@@ -70,3 +70,35 @@ def test_compare_snapshots_cli(tmp_path):
     res = compare_snapshots(p1, p2)
     assert 0.0009 < res["rho"]["L1"] < 0.0011
     assert res["pg"]["max"] == 0.0
+
+
+def test_fits_roundtrip(tmp_path):
+    """FITS snapshot is a full restart file (SURVEY.md §2.9); also check a
+    3D MHD config so extension count and axis ordering are exercised."""
+    from pion_tpu.io.fits import read_fits, write_fits
+
+    cfg = SimConfig(
+        ndim=3, eqn="glm", solver="hlld", ntracer=2, shape=(4, 6, 8),
+        xmin=(0.0, 0.0, 0.0), xmax=(1.0, 1.0, 1.0),
+        bcs=tuple([("outflow", "outflow")] * 3), cfl=0.3, ooa=2,
+    )
+    rng = np.random.default_rng(0)
+    P0 = rng.normal(size=(cfg.nvar, 4, 6, 8))
+    p = write_fits(str(tmp_path / "snap"), P0, cfg, t=0.5)
+    P2, cfg2, t = read_fits(p)
+    assert cfg2 == cfg and t == 0.5
+    np.testing.assert_array_equal(P2, P0)
+    # header blocks are valid FITS: 2880-byte multiple, SIMPLE first card
+    raw = open(p, "rb").read()
+    assert len(raw) % 2880 == 0 and raw[:6] == b"SIMPLE"
+
+
+def test_npz_to_fits_converter(tmp_path):
+    from pion_tpu.io.fits import npz_to_fits, read_fits
+
+    cfg, P0 = make()
+    p = save_snapshot(str(tmp_path / "snap"), P0, cfg, 0.25, 3)
+    f = npz_to_fits(p)
+    P2, cfg2, t = read_fits(f)
+    assert cfg2 == cfg and t == 0.25
+    np.testing.assert_array_equal(P2, P0)
