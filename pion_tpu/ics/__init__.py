@@ -18,6 +18,8 @@ from .problems import (  # noqa: F401
     laser_ablation,
     liska_wendroff_implosion,
     map_1d_to_2d,
+    multi_clumps,
+    photoevap_cloudclump,
     photoevap_paralleltest,
     photoevap_powerlaw,
     photoevap_radial,

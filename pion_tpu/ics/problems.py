@@ -120,9 +120,16 @@ def shock_cloud(cfg: SimConfig, mach=10.0, rho_amb=1.0, p_amb=1.0,
 
 
 def spherical_clump(cfg: SimConfig, rho_amb=1.0, p_amb=1.0, rho_max=100.0,
-                    r_core=0.1, center=None, profile="gaussian") -> np.ndarray:
-    """Dense clump in a uniform medium: Gaussian or top-hat profile
-    (reference: ics/clump tests, photoevaporating clump setups)."""
+                    r_core=0.1, center=None, profile="gaussian",
+                    B0=None, v0=None) -> np.ndarray:
+    """Dense clump in a uniform medium: Gaussian or top-hat profile.
+
+    Covers both ``Clump_Spherical`` (1D spherical, centre at r=0) and
+    ``Clump_Axisymmetric`` (2D cylindrical, centre on axis) — same fill,
+    the coordinate system comes from cfg (reference:
+    ics/spherical_clump.cpp:125-133 dispatch, :153-220 setup_clump; the
+    reference's uniform SC_BX/BY/BZ field and ambient velocity are the
+    ``B0``/``v0`` tuples here)."""
     grids = _mesh(cfg)
     if center is None:
         center = [0.5 * (cfg.xmin[i] + cfg.xmax[i]) for i in range(cfg.ndim)]
@@ -133,6 +140,12 @@ def spherical_clump(cfg: SimConfig, rho_amb=1.0, p_amb=1.0, rho_max=100.0,
     else:
         P[RO] = np.where(r2 < r_core**2, rho_max, rho_amb)
     P[PG] = p_amb
+    if v0 is not None:
+        for k, v in enumerate(v0[:3]):
+            P[VX + k] = v
+    if B0 is not None and cfg.eqn.is_mhd:
+        for k, b in enumerate(B0[:3]):
+            P[BX + k] = b
     for tr in range(cfg.eqn.nbase, cfg.nvar):
         P[tr] = np.clip((P[RO] - rho_amb) / (rho_max - rho_amb), 0, 1)
     return P
@@ -155,6 +168,123 @@ def random_clumps(cfg: SimConfig, n_clumps=10, rho_amb=1.0, p_amb=1.0,
         P[RO] += (rho_max - rho_amb) * np.exp(-r2 / (2 * r_core**2))
     for tr in range(cfg.eqn.nbase, cfg.nvar):
         P[tr] = np.clip((P[RO] - rho_amb) / (rho_max - rho_amb), 0, 1)
+    return P
+
+
+def _clump_mass_to_peak(mass, r_core, profile, ndim):
+    """Peak overdensity for a clump of given total mass.
+
+    Gaussian: M = rho_peak * (2 pi)^{d/2} r_core^d; top-hat: M = rho * V
+    (reference: photoevaporating_multiclumps.cpp:1112-1127 sets mass from
+    profile the same way, inverted here)."""
+    if profile == "gaussian":
+        return mass / ((2.0 * np.pi) ** (0.5 * ndim) * r_core**ndim)
+    vol = {1: 2.0, 2: np.pi, 3: 4.0 * np.pi / 3.0}[ndim] * r_core**ndim
+    return mass / vol
+
+
+def multi_clumps(cfg: SimConfig, mode="fixnum", n_clumps=10, total_mass=None,
+                 mass_range=(0.5, 2.0), r_range=(0.03, 0.08),
+                 rho_amb=1.0, p_amb=1.0, profile="gaussian",
+                 region=(0.2, 0.8), radial_slope=0.0, cloud_center=None,
+                 cloud_radius=None, strategic=(), seed=7) -> np.ndarray:
+    """PhotEvap_MultiClumps_FixNum / _FixMass + strategic clumps.
+
+    TPU-native re-derivation of the multi-clump generator (reference:
+    ics/photoevaporating_multiclumps.cpp: get_random_clump_params draws
+    either a fixed number of clumps with random masses [FixNum, :756-800]
+    or keeps drawing until a total mass budget is spent [FixMass,
+    :800-840]; strategic clumps at caller-given positions :1009-1148;
+    optional power-law ambient profile about the cloud centre :495-510).
+
+    ``strategic``: sequence of (center, mass, r_core) placed exactly.
+    ``region``: fractional sub-box that random clump centres occupy.
+    """
+    rng = np.random.default_rng(seed)
+    grids = _mesh(cfg)
+    nd = cfg.ndim
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+
+    # ambient medium, optionally with a power-law radial profile
+    rho_bg = np.full(cfg.shape, rho_amb)
+    if radial_slope != 0.0:
+        if cloud_center is None:
+            cloud_center = [cfg.xmin[i] for i in range(nd)]
+        if cloud_radius is None:
+            cloud_radius = 0.25 * (cfg.xmax[0] - cfg.xmin[0])
+        dist = np.sqrt(sum((grids[i] - cloud_center[i]) ** 2
+                           for i in range(nd)))
+        dist = np.maximum(dist, cloud_radius)
+        rho_bg = rho_amb * (cloud_radius / dist) ** radial_slope
+    P[RO] = rho_bg
+    P[PG] = p_amb * rho_bg / rho_amb  # isothermal ambient
+
+    lo = [cfg.xmin[i] + region[0] * (cfg.xmax[i] - cfg.xmin[i])
+          for i in range(nd)]
+    hi = [cfg.xmin[i] + region[1] * (cfg.xmax[i] - cfg.xmin[i])
+          for i in range(nd)]
+
+    def draw():
+        c = [rng.uniform(lo[i], hi[i]) for i in range(nd)]
+        m = rng.uniform(*mass_range)
+        r = rng.uniform(*r_range)
+        return c, m, r
+
+    clumps = []
+    if mode == "fixnum":
+        clumps = [draw() for _ in range(n_clumps)]
+    elif mode == "fixmass":
+        assert total_mass is not None, "fixmass mode needs total_mass"
+        remaining = float(total_mass)
+        while remaining > mass_range[0]:
+            c, m, r = draw()
+            m = min(m, remaining)
+            clumps.append((c, m, r))
+            remaining -= m
+    else:
+        raise ValueError(f"unknown multi_clumps mode {mode!r}")
+    clumps.extend(strategic)
+
+    overdens = np.zeros(cfg.shape)
+    for center, mass, r_core in clumps:
+        r2 = sum((grids[i] - center[i]) ** 2 for i in range(nd))
+        peak = _clump_mass_to_peak(mass, r_core, profile, nd)
+        if profile == "gaussian":
+            overdens += peak * np.exp(-r2 / (2 * r_core**2))
+        else:
+            overdens += np.where(r2 < r_core**2, peak, 0.0)
+    P[RO] = P[RO] + overdens
+    for tr in range(cfg.eqn.nbase, cfg.nvar):
+        P[tr] = np.clip(overdens / (overdens.max() + 1e-300), 0, 1)
+    return P
+
+
+def photoevap_cloudclump(cfg: SimConfig, rho_amb=1.0, p_amb=1.0,
+                         cloud_center=None, cloud_radius=0.3,
+                         rho_cloud=10.0, clump_offset=None,
+                         clump_radius=0.08, rho_clump=100.0) -> np.ndarray:
+    """PhotoEvap_CloudClump: a smooth cloud with one embedded dense clump
+    (reference: ics/photoevaporating_clump.cpp:265-268 PE_CLOUD_CLUMP).
+    The cloud is a top-hat + Gaussian edge; the clump a Gaussian inside."""
+    grids = _mesh(cfg)
+    nd = cfg.ndim
+    if cloud_center is None:
+        cloud_center = [cfg.xmin[i] + 0.35 * (cfg.xmax[i] - cfg.xmin[i])
+                        for i in range(nd)]
+    if clump_offset is None:
+        clump_offset = [0.0] * nd
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    r = np.sqrt(sum((grids[i] - cloud_center[i]) ** 2 for i in range(nd)))
+    edge = np.exp(-np.maximum(r - cloud_radius, 0.0) ** 2
+                  / (2 * (0.1 * cloud_radius) ** 2))
+    cloud = np.where(r <= cloud_radius, 1.0, edge)
+    r2c = sum((grids[i] - cloud_center[i] - clump_offset[i]) ** 2
+              for i in range(nd))
+    clump = np.exp(-r2c / (2 * clump_radius**2))
+    P[RO] = rho_amb + (rho_cloud - rho_amb) * cloud + rho_clump * clump
+    P[PG] = p_amb
+    for tr in range(cfg.eqn.nbase, cfg.nvar):
+        P[tr] = np.clip((P[RO] - rho_amb) / (rho_clump - rho_amb), 0, 1)
     return P
 
 

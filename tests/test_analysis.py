@@ -81,3 +81,32 @@ def test_mpv5_mpv6_instantiate():
     for mp in (mp5, mp6):
         out = mp.update(jnp.asarray(P), 3.0e7, cfg)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_xray_band_tables():
+    """Band emissivities behave like the reference's >E tables: higher
+    threshold => strictly less emission; soft band peaks at the CIE bump;
+    hard band keeps rising into the brems regime."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pion_tpu.analysis.projection import XRAY_BANDS_KEV, xray_emissivity
+
+    T = jnp.asarray(10.0 ** np.linspace(5.0, 8.5, 50))
+    one = jnp.ones_like(T)
+    prev = None
+    for e0 in XRAY_BANDS_KEV:
+        lam = np.asarray(xray_emissivity(one, one, T, e0))
+        assert np.all(lam > 0) and np.all(np.isfinite(lam))
+        if prev is not None:
+            assert np.all(lam <= prev + 1e-30)
+        prev = lam
+    soft = np.asarray(xray_emissivity(one, one, T, 0.1))
+    hard = np.asarray(xray_emissivity(one, one, T, 5.0))
+    logT = np.linspace(5.0, 8.5, 50)
+    assert 6.0 < logT[np.argmax(soft)] < 7.3       # CIE metal bump
+    assert np.argmax(hard) > len(T) - 5            # brems keeps rising
+    # off-menu threshold interpolates between bands
+    mid = np.asarray(xray_emissivity(one, one, T, 0.3))
+    lo = np.asarray(xray_emissivity(one, one, T, 0.2))
+    hi = np.asarray(xray_emissivity(one, one, T, 0.5))
+    assert np.all(mid <= lo * 1.0001) and np.all(mid >= hi * 0.9999)

@@ -187,3 +187,76 @@ def test_from_turbulence_cube():
     rms = np.sqrt((P[VX] ** 2 + P[VY] ** 2 + P[VZ] ** 2).mean())
     np.testing.assert_allclose(rms, 3.0, rtol=1e-12)
     assert P[RO].min() > 0
+
+
+def test_multi_clumps_fixnum_fixmass():
+    """FixNum places exactly N clumps; FixMass spends the mass budget
+    (reference: photoevaporating_multiclumps.cpp:756-840)."""
+    from pion_tpu.ics import multi_clumps
+
+    cfg = SimConfig(ndim=2, eqn="euler", solver="hll", ntracer=1,
+                    shape=(64, 64), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, cfl=0.3)
+    P = multi_clumps(cfg, mode="fixnum", n_clumps=5, rho_amb=1.0)
+    dx2 = cfg.dx**2
+    assert P[RO].min() >= 1.0 and P[RO].max() > 2.0
+    assert np.all(P[-1] >= 0) and np.all(P[-1] <= 1)
+
+    # fixmass: integrated overdensity ~= budget (clumps fully on-grid)
+    M = 3.0
+    P2 = multi_clumps(cfg, mode="fixmass", total_mass=M, rho_amb=1.0,
+                      r_range=(0.02, 0.04), region=(0.3, 0.7))
+    got = (P2[RO] - 1.0).sum() * dx2
+    assert abs(got - M) / M < 0.15  # Gaussian tails + discretization
+
+    # strategic clump lands where asked
+    P3 = multi_clumps(cfg, mode="fixnum", n_clumps=1,
+                      strategic=(((0.25, 0.75), 2.0, 0.05),))
+    iy, ix = np.unravel_index(np.argmax(P3[RO]), cfg.shape)
+    x = cfg.cell_centers(0)[iy], cfg.cell_centers(1)[ix]
+    assert abs(x[0] - 0.25) < 0.1 or abs(x[1] - 0.75) < 0.1
+
+
+def test_multi_clumps_radial_ambient():
+    from pion_tpu.ics import multi_clumps
+
+    cfg = SimConfig(ndim=2, eqn="euler", solver="hll", shape=(32, 32),
+                    xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, cfl=0.3)
+    P = multi_clumps(cfg, mode="fixnum", n_clumps=0 or 1, rho_amb=2.0,
+                     radial_slope=2.0, cloud_center=(0.0, 0.0),
+                     cloud_radius=0.2, mass_range=(1e-6, 2e-6))
+    # density falls off ~r^-2 from the cloud centre outside the core
+    c = P[RO]
+    assert c[0, 0] > c[-1, -1]
+
+
+def test_photoevap_cloudclump_runs():
+    from pion_tpu.ics import photoevap_cloudclump
+
+    cfg = SimConfig(ndim=2, eqn="euler", solver="hll", ntracer=1,
+                    shape=(32, 32), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, cfl=0.3, tmax=0.02)
+    P0 = photoevap_cloudclump(cfg)
+    assert P0[RO].max() > 50.0 and np.all(np.isfinite(P0))
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    assert np.all(np.isfinite(np.asarray(sim.P)))
+
+
+def test_clump_axisymmetric_with_field():
+    """Clump_Axisymmetric: 2D cylindrical clump with uniform B
+    (reference: spherical_clump.cpp:129-133)."""
+    from pion_tpu.ics import spherical_clump
+
+    cfg = SimConfig(ndim=2, eqn="glm", solver="hlld", coords="cylindrical",
+                    ntracer=1, shape=(32, 64), xmin=(0.0, -1.0),
+                    xmax=(1.0, 1.0),
+                    bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")),
+                    cfl=0.3, tmax=0.02)
+    P0 = spherical_clump(cfg, center=(0.0, 0.0), B0=(0.0, 0.1, 0.0),
+                         v0=(0.0, 0.5, 0.0))
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    P = np.asarray(sim.P)
+    assert np.all(np.isfinite(P)) and sim.t >= 0.02
