@@ -61,15 +61,18 @@ def emission_measure(ne, n_hp):
 
 
 # X-ray band emissivity tables.  The reference interpolates log(L(>E)) vs
-# log(T) tables for bands >0.1/0.2/0.5/1/2/5/10 keV computed offline with
-# XSPEC (reference: analysis/xray/xray_emission.h:77-90 setup_xray_tables,
-# bands added 2018-01-11).  The XML data file is not redistributable, so the
-# tables here are generated at import from a physical model — free-free
-# continuum with Gaunt factor (Rybicki & Lightman) plus a solar-abundance
-# metal-line component shaped like the SD93 CIE bump, partitioned into
-# bands by the exponential photon-energy distribution — then interpolated
-# in log-log exactly as the reference does.
-XRAY_BANDS_KEV = (0.1, 0.2, 0.5, 1.0, 2.0, 5.0, 10.0)
+# log(T) tables for the eight bands >0.1/0.2/0.3/0.5/1/2/5/10 keV computed
+# offline with XSPEC (reference: analysis/xray/xray_emission.h:28-74
+# setup_xray_tables; 0.2/2/10 keV bands added 2018-01-11, 0.3 keV added
+# 2019-02-05).  The XSPEC XML data file is not redistributable, so the
+# tables here are *approximate*: generated at import from a physical model —
+# free-free continuum with Gaunt factor (Rybicki & Lightman) plus a
+# solar-abundance metal-line component shaped like the SD93 CIE bump,
+# partitioned into bands by the exponential photon-energy distribution —
+# then interpolated in log-log exactly as the reference does.  Band
+# emissivities therefore will not numerically match the reference's
+# XSPEC-derived values (same API/shape, different table source).
+XRAY_BANDS_KEV = (0.1, 0.2, 0.3, 0.5, 1.0, 2.0, 5.0, 10.0)
 _XR_LOGT = np.linspace(4.0, 9.0, 161)
 
 
@@ -97,14 +100,20 @@ def xray_emissivity(ne, nH, T, e_min_kev: float = 0.1):
 
     Table lookup in log T per band, log-linear interpolation between the
     two bracketing bands for off-menu thresholds (reference:
-    analysis/xray/xray_emission.cpp get_xray_emissivity interpolates the
-    same seven >E bands)."""
+    analysis/xray/xray_emission.cpp:199-259 get_xray_emissivity over the
+    same eight >E bands).  Matching the reference's out-of-range policy:
+    zero emissivity below the table floor, linear log-log extrapolation
+    above the ceiling (xray_emission.cpp:212-235)."""
     logT = jnp.log10(jnp.maximum(T, 1.0))
     bands = XRAY_BANDS_KEV
+    lt = jnp.asarray(_XR_LOGT)
 
     def interp(e0):
         tab = jnp.asarray(_XRAY_TABLES[e0])
-        return 10.0 ** jnp.interp(logT, jnp.asarray(_XR_LOGT), tab)
+        val = jnp.interp(logT, lt, tab)
+        slope = (tab[-1] - tab[-2]) / (lt[-1] - lt[-2])
+        val = jnp.where(logT > lt[-1], tab[-1] + slope * (logT - lt[-1]), val)
+        return jnp.where(logT < lt[0], 0.0, 10.0**val)
 
     if e_min_kev in _XRAY_TABLES:
         lam = interp(e_min_kev)

@@ -26,18 +26,28 @@ BLOCK = 2880
 
 
 def _card(key: str, value, comment: str = "") -> bytes:
-    """One 80-byte FITS header card."""
+    """One 80-byte FITS header card.
+
+    The value part must fit in 80 bytes — a card that would overflow raises
+    instead of silently truncating (truncation would corrupt e.g. the stored
+    config JSON with no error).  Only the optional comment may be trimmed.
+    """
     if value is True or value is False:
         v = "T" if value else "F"
         body = f"{key:<8}= {v:>20}"
     elif isinstance(value, int):
         body = f"{key:<8}= {value:>20}"
     elif isinstance(value, float):
-        body = f"{key:<8}= {value:>20.14E}"
+        # 17 significant digits: exact float64 round-trip (ADVICE r1)
+        body = f"{key:<8}= {value:>23.16E}"
     elif isinstance(value, str):
-        body = f"{key:<8}= '{value:<8}'"
+        # escape single quotes per the FITS convention
+        esc = value.replace("'", "''")
+        body = f"{key:<8}= '{esc:<8}'"
     else:
         raise TypeError(f"bad card value {value!r}")
+    if len(body) > 80:
+        raise ValueError(f"FITS card overflow for {key!r}: {len(body)} > 80 bytes")
     if comment:
         body = f"{body} / {comment}"
     return body[:80].ljust(80).encode("ascii")
@@ -54,12 +64,27 @@ def _data_pad(buf: bytes) -> bytes:
 
 
 def _string_cards(key: str, text: str) -> List[bytes]:
-    """Encode an arbitrarily long string as numbered 60-char chunk cards."""
-    chunks = [text[i : i + 60] for i in range(0, len(text), 60)] or [""]
-    cards = [_card(f"{key}N", len(chunks))]
+    """Encode an arbitrarily long string as numbered chunk cards.
+
+    Chunks are sized by *escaped* length (a single quote costs 2 chars) so a
+    chunk can never overflow the 80-byte card after ``_card`` escapes it
+    (ADVICE r1).  A ``{key}L`` card records the total unescaped length so the
+    reader can restore trailing spaces that FITS padding would otherwise eat.
+    """
+    chunks: List[str] = []
+    cur, cur_esc = [], 0
+    for ch in text:
+        cost = 2 if ch == "'" else 1
+        if cur_esc + cost > 60:
+            chunks.append("".join(cur))
+            cur, cur_esc = [], 0
+        cur.append(ch)
+        cur_esc += cost
+    if cur or not chunks:
+        chunks.append("".join(cur))
+    cards = [_card(f"{key}N", len(chunks)), _card(f"{key}L", len(text))]
     for i, c in enumerate(chunks):
-        # escape single quotes per FITS convention
-        cards.append(_card(f"{key}{i:03d}", c.replace("'", "''")))
+        cards.append(_card(f"{key}{i:03d}", c))
     return cards
 
 
@@ -132,12 +157,27 @@ def _parse_header(f) -> Dict[str, object]:
             if card[8:10] != "= " or not key:
                 continue
             val = card[10:]
-            if "/" in val and "'" not in val.split("/")[0]:
+            if val.lstrip().startswith("'"):
+                # scan to the closing quote honoring '' escapes; keep
+                # interior trailing spaces verbatim (chunk reassembly
+                # trims with the recorded length instead) (ADVICE r1)
+                s = val.index("'") + 1
+                out = []
+                while s < len(val):
+                    if val[s] == "'":
+                        if s + 1 < len(val) and val[s + 1] == "'":
+                            out.append("'")
+                            s += 2
+                            continue
+                        break
+                    out.append(val[s])
+                    s += 1
+                cards[key] = "".join(out)
+                continue
+            if "/" in val:
                 val = val.split("/")[0]
             val = val.strip()
-            if val.startswith("'"):
-                cards[key] = val.strip("'").rstrip().replace("''", "'")
-            elif val in ("T", "F"):
+            if val in ("T", "F"):
                 cards[key] = val == "T"
             else:
                 try:
@@ -150,7 +190,11 @@ def _parse_header(f) -> Dict[str, object]:
 
 def _read_string(cards: Dict[str, object], key: str) -> str:
     n = int(cards[f"{key}N"])
-    return "".join(str(cards[f"{key}{i:03d}"]) for i in range(n))
+    text = "".join(str(cards[f"{key}{i:03d}"]) for i in range(n))
+    if f"{key}L" in cards:
+        # trim FITS min-8-char string padding off the final chunk
+        return text[: int(cards[f"{key}L"])]
+    return text.rstrip()
 
 
 def read_fits(path: str) -> Tuple[np.ndarray, SimConfig, float]:
@@ -175,7 +219,7 @@ def read_fits(path: str) -> Tuple[np.ndarray, SimConfig, float]:
             nbytes = count * abs(bitpix) // 8
             buf = f.read(nbytes + ((-nbytes) % BLOCK))
             arr = np.frombuffer(buf[:nbytes], dtype=dtype).reshape(shape)
-            planes[str(hdr.get("EXTNAME", len(planes)))] = arr
+            planes[str(hdr.get("EXTNAME", len(planes))).rstrip()] = arr
     names = _var_names(cfg)
     P = np.stack([planes[n].astype(np.float64) for n in names])
     return P, cfg, t
