@@ -60,6 +60,52 @@ def emission_measure(ne, n_hp):
     return ne * n_hp
 
 
+def brems6ghz_emissivity(ne, T):
+    """Free-free radio continuum at 6 GHz, n_e^2 * 3.27e-23 (T/1e4K)^-0.35
+    * nu_GHz^-0.1 [MJy/ster/cm] (reference: xray_emission.cpp:303-315
+    Brems6GHz_emissivity; Condon & Ransom eq. 4.54/4.60)."""
+    return 3.27e-23 * 6.0 ** (-0.1) * ne * ne * (T * 1.0e-4) ** (-0.35)
+
+
+_MAXDENS = 25000.0  # LINMAX_DENSITY weighting cap (point_quantities.cpp:172)
+
+
+def stokes_q(rho, b_img_x, b_img_y):
+    """Linearly-polarized synchrotron Stokes Q integrand, density-weighted
+    with the reference's LINMAX cap: min(n_H, 25000) (Bx^2-By^2)/|B_perp|
+    (reference: projection3D/point_quantities.cpp:173-222 get_point_StokesQ).
+    ``b_img_x/y`` are the plane-of-sky field components in image coords."""
+    bx2 = b_img_x * b_img_x
+    by2 = b_img_y * b_img_y
+    bperp = jnp.sqrt(jnp.maximum(bx2 + by2, 1.0e-60))
+    return jnp.minimum(rho / M_P, _MAXDENS) * (bx2 - by2) / bperp
+
+
+def stokes_u(rho, b_img_x, b_img_y):
+    """Stokes U integrand: min(n_H, 25000) * 2 Bx By / |B_perp|
+    (reference: point_quantities.cpp:229-280 get_point_StokesU)."""
+    bx2 = b_img_x * b_img_x
+    by2 = b_img_y * b_img_y
+    bperp = jnp.sqrt(jnp.maximum(bx2 + by2, 1.0e-60))
+    return jnp.minimum(rho / M_P, _MAXDENS) * 2.0 * b_img_x * b_img_y / bperp
+
+
+def b_component_abs(rho, b_comp, b_total2):
+    """|B-component| map integrand: min(n_H, 25000) * B_i^2/|B|
+    (reference: point_quantities.cpp:287-357 get_point_BXabs/BYabs)."""
+    btot = jnp.sqrt(jnp.maximum(b_total2, 1.0e-60))
+    return jnp.minimum(rho / M_P, _MAXDENS) * b_comp * b_comp / btot
+
+
+def rotation_measure(ne, b_los):
+    """Faraday rotation-measure integrand n_e * B_los; the projection
+    multiplies by dl/parsec * 1e6 * sqrt(4pi) to give RM in rad/m^2 (the
+    code's B unit is Gauss/sqrt(4pi); reference:
+    point_quantities.cpp:367-401 get_point_RotationMeasure and the
+    normalization at sim_projection.cpp:1211-1223)."""
+    return ne * b_los
+
+
 # X-ray band emissivity tables.  The reference interpolates log(L(>E)) vs
 # log(T) tables for the eight bands >0.1/0.2/0.3/0.5/1/2/5/10 keV computed
 # offline with XSPEC (reference: analysis/xray/xray_emission.h:28-74
@@ -167,6 +213,14 @@ def project_axisymmetric(P, cfg: SimConfig, mp=None,
             j = nii6584_emissivity(ne, n_hp, T)
         elif q == "xray":
             j = xray_emissivity(ne, nH, T, e_min_kev)
+        elif q == "density":     # PROJ_D (projection_constants.h:5)
+            j = P[RO]
+        elif q == "neutral":     # PROJ_NtD
+            j = jnp.maximum(nH - n_hp, 0.0)
+        elif q == "ionized":     # PROJ_InD
+            j = n_hp
+        elif q == "brems6ghz":   # PROJ_BREMS6GHZ
+            j = brems6ghz_emissivity(ne, T)
         else:
             raise ValueError(f"unknown projection quantity {q}")
         out[q] = W @ j  # (n_b, n_R) @ (n_R, n_z) -> (n_b, n_z)
@@ -174,11 +228,25 @@ def project_axisymmetric(P, cfg: SimConfig, mp=None,
 
 
 def project_3d(P, cfg: SimConfig, axis: int = 0, mp=None,
-               quantities=("em", "halpha")) -> Dict[str, jnp.ndarray]:
+               quantities=("em", "halpha"),
+               e_min_kev: float = 0.1) -> Dict[str, jnp.ndarray]:
     """Project a 3D snapshot along a grid axis (reference:
-    analysis/projection3D)."""
+    analysis/projection3D/main_projection.cpp; quantity menu from
+    analysis/projection/projection_constants.h:5-24 — density, neutral/
+    ionized density, EM, X-ray bands, Halpha, [NII], Brems 6GHz, Stokes
+    Q/U, |B_x|/|B_y|, rotation measure)."""
+    from ..constants import BX as _BX
+
     assert cfg.ndim == 3
     ne, n_hp, nH, T = _gas_quantities(P, cfg, mp)
+    rho = P[RO]
+    if cfg.eqn.is_mhd:
+        # physical axis of LOS: array axis a -> slot BX + (ndim-1-a)
+        b_los = P[_BX + (cfg.ndim - 1 - axis)]
+        img_axes = [a for a in range(3) if a != axis]
+        b_img_y = P[_BX + (cfg.ndim - 1 - img_axes[0])]
+        b_img_x = P[_BX + (cfg.ndim - 1 - img_axes[1])]
+        b_tot2 = b_los**2 + b_img_x**2 + b_img_y**2
     out = {}
     for q in quantities:
         if q == "em":
@@ -188,7 +256,28 @@ def project_3d(P, cfg: SimConfig, axis: int = 0, mp=None,
         elif q == "nii":
             j = nii6584_emissivity(ne, n_hp, T)
         elif q == "xray":
-            j = xray_emissivity(ne, nH, T)
+            j = xray_emissivity(ne, nH, T, e_min_kev)
+        elif q == "density":     # PROJ_D: surface mass density [g/cm^2]
+            j = rho
+        elif q == "neutral":     # PROJ_NtD: neutral H column [cm^-2]
+            j = jnp.maximum(nH - n_hp, 0.0)
+        elif q == "ionized":     # PROJ_InD: ionized H column [cm^-2]
+            j = n_hp
+        elif q == "brems6ghz":   # PROJ_BREMS6GHZ [MJy/ster]
+            j = brems6ghz_emissivity(ne, T)
+        elif q == "stokes_q":
+            j = stokes_q(rho, b_img_x, b_img_y) / cfg.dx
+        elif q == "stokes_u":
+            j = stokes_u(rho, b_img_x, b_img_y) / cfg.dx
+        elif q == "bxabs":
+            j = b_component_abs(rho, b_img_x, b_tot2) / cfg.dx
+        elif q == "byabs":
+            j = b_component_abs(rho, b_img_y, b_tot2) / cfg.dx
+        elif q == "rm":
+            # reference normalization (sim_projection.cpp:1211-1223):
+            # dl/parsec * 1e6 * sqrt(4pi) on the code's G/sqrt(4pi) B unit
+            j = rotation_measure(ne, b_los) * (
+                1.0e6 * np.sqrt(4.0 * np.pi) / PARSEC)
         else:
             raise ValueError(f"unknown projection quantity {q}")
         out[q] = jnp.sum(j, axis=axis) * cfg.dx

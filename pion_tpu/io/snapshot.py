@@ -95,6 +95,62 @@ def save_snapshot(path: str, P, cfg: SimConfig, t: float, step: int = 0,
     return path
 
 
+class AsyncSnapshotWriter:
+    """Background snapshot writer.
+
+    The reference hides checkpoint latency behind PMPIO's grouped parallel
+    writes (reference: dataIO/dataio_silo_MPI.cpp:7-17); here the same role
+    is a host worker thread: the step loop hands off the already-fetched
+    host array and keeps stepping while compression + disk I/O run behind
+    it.  A bounded queue (default depth 2, matching the two rolling
+    checkpoint files of sim_init.cpp:681-700) applies back-pressure when
+    the disk cannot keep up.  Worker exceptions are re-raised on the next
+    ``submit``/``wait``.
+    """
+
+    def __init__(self, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                save_snapshot(*item)
+            except BaseException as e:  # surfaced on submit/wait
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, path: str, P, cfg: SimConfig, t: float,
+               step: int = 0, extra: Optional[dict] = None):
+        self._check()
+        # materialize on the host NOW so the caller may mutate/rebind P
+        self._q.put((path, np.asarray(P), cfg, float(t), int(step), extra))
+
+    def wait(self):
+        """Block until all submitted snapshots are on disk."""
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
 def load_snapshot(path: str) -> Tuple[SimConfig, np.ndarray, float, int]:
     for suffix in ("", ".snap", ".npz"):
         if os.path.exists(path + suffix):

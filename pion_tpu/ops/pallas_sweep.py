@@ -89,30 +89,47 @@ def _av_falle_tile(flux, Pl, Pr, pstar, cfg: SimConfig):
 
 
 def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
-                    dx: float, hll_mask=None):
-    """Per-tile sweep math with the sweep axis LAST.
+                    dx: float, hll_mask=None, spos: int = -2):
+    """Per-tile sweep math with the sweep axis at position ``spos``.
 
-    ``Pt``: (nvar, ..., N+2*NG).  Returns the dU contribution
-    (nvar, ..., N) = dt * (-dF/dx + Powell/GLM sources).
-    Identical formulas to ops/sweep.py's per-axis body, Cartesian metric.
+    ``spos=-2``: ``Pt`` is (nvar, N+2*NG, L) — sweep axis in sublanes, a
+    128-aligned transverse lane chunk last.  Keeping the padded sweep axis
+    (length n+4 / n+1, never 128-aligned) out of the lane dimension roughly
+    doubles VPU lane utilization vs a sweep-minor layout.
+
+    ``spos=-3``: ``Pt`` is (nvar, N+2*NG, R, L) — sweep axis in the
+    untiled third-from-last position, a full (sublane, lane) tile behind
+    it; shifted slices along the sweep axis are then free (whole-tile row
+    selects, no in-tile relayout).
+
+    Returns the dU contribution (nvar, N, ...) = dt * (-dF/dx +
+    Powell/GLM sources).  Identical formulas to ops/sweep.py's per-axis
+    body, Cartesian metric.
     """
     from .sweep import _riemann
 
+    if spos == -2:
+        def _s2(A, lo, hi):
+            return A[..., lo:hi, :]
+    else:
+        def _s2(A, lo, hi):
+            return A[..., lo:hi, :, :]
+
     nd = cfg.ndim
-    n = Pt.shape[-1] - 2 * NG
+    n = Pt.shape[spos] - 2 * NG
     glm = cfg.eqn is Eqn.GLM
 
     if order == 1:
-        Pl = Pt[..., NG - 1 : NG + n]
-        Pr = Pt[..., NG : NG + n + 1]
+        Pl = _s2(Pt, NG - 1, NG + n)
+        Pr = _s2(Pt, NG, NG + n + 1)
     else:
-        d = (Pt[..., 1:] - Pt[..., :-1]) / dx
-        slopes = van_albada(d[..., :-1], d[..., 1:])
-        cells = Pt[..., 1:-1]
+        d = (_s2(Pt, 1, None) - _s2(Pt, 0, -1)) / dx
+        slopes = van_albada(_s2(d, 0, -1), _s2(d, 1, None))
+        cells = _s2(Pt, 1, -1)
         lo = cells - slopes * (0.5 * dx)
         hi = cells + slopes * (0.5 * dx)
-        Pl = hi[..., NG - 2 : NG + n - 1]
-        Pr = lo[..., NG - 1 : NG + n]
+        Pl = _s2(hi, NG - 2, NG + n - 1)
+        Pr = _s2(lo, NG - 1, NG + n)
 
     perm = sweep_perm(cfg, axis)
     inv = inverse_perm(perm)
@@ -149,16 +166,16 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         flux_r = _upd(flux_r, upd)
 
     flux = _permute(flux_r, inv)
-    dudt = (flux[..., :-1] - flux[..., 1:]) / dx
+    dudt = (_s2(flux, 0, -1) - _s2(flux, 1, None)) / dx
 
-    Pc = Pt[..., NG : NG + n]
+    Pc = _s2(Pt, NG, NG + n)
     if cfg.eqn.is_mhd:
         from ..constants import BY, BZ, VY, VZ
 
         k = nd - 1 - axis
         bn = Pt[BX + k]
-        bm = 0.5 * (bn[..., NG - 1 : NG + n] + bn[..., NG : NG + n + 1])
-        dbm = (bm[..., :-1] - bm[..., 1:]) / dx
+        bm = 0.5 * (_s2(bn, NG - 1, NG + n) + _s2(bn, NG, NG + n + 1))
+        dbm = (_s2(bm, 0, -1) - _s2(bm, 1, None)) / dx
         udotb = Pc[VX] * Pc[BX] + Pc[VY] * Pc[BY] + Pc[VZ] * Pc[BZ]
         upd = {
             VX: dudt[VX] + dbm * Pc[BX],
@@ -171,8 +188,8 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         pg_new = dudt[PG] + dbm * udotb
         if glm:
             psi = Pt[SI]
-            sm = 0.5 * (psi[..., NG - 1 : NG + n] + psi[..., NG : NG + n + 1])
-            dsm = (sm[..., :-1] - sm[..., 1:]) / dx
+            sm = 0.5 * (_s2(psi, NG - 1, NG + n) + _s2(psi, NG, NG + n + 1))
+            dsm = (_s2(sm, 0, -1) - _s2(sm, 1, None)) / dx
             vn = Pc[VX + k]
             pg_new = pg_new + dsm * vn * Pc[SI]
             upd[SI] = dudt[SI] + dsm * vn
@@ -201,7 +218,13 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
     """Launch the fused kernel for one axis.  ``Pt`` is padded along the
     sweep axis only (interior on transverse axes).  ``mask`` (optional,
     HLLD->HLL fallback) has the same spatial layout with n+1 interfaces on
-    the sweep axis and a leading singleton channel dim."""
+    the sweep axis and a leading singleton channel dim.
+
+    Every tile is brought to the (nvar, npad, lanes) layout — sweep axis in
+    sublanes, a 128-aligned transverse chunk in lanes.  Only the minor-axis
+    (x) sweep needs an in-tile transpose for that; y/z sweeps slice it
+    directly from the natural layout.
+    """
     nvar = cfg.nvar
     nd = cfg.ndim
     n = cfg.shape[axis]
@@ -210,7 +233,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
     ch_v = jnp.asarray(0.0 if ch is None else ch, Pt.dtype)
     has_mask = mask is not None
 
-    def kernel(*refs, sweep_last: bool):
+    def kernel(*refs, transpose: bool, chunked: bool = False):
         if has_mask:
             dt_ref, ch_ref, p_ref, m_ref, o_ref = refs
         else:
@@ -218,58 +241,55 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             m_ref = None
         dt_k = dt_ref[0]
         ch_k = ch_ref[0]
-        if sweep_last:
-            t = p_ref[...].reshape((nvar, -1, npad))
-            m = None
-            if m_ref is not None:
-                m = m_ref[...].reshape((-1, n + 1)) > 0.5
-            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx,
-                                  hll_mask=m)
-            o_ref[...] = out.reshape(o_ref.shape)
+        if chunked:
+            # 3D z sweep: block (nvar, npad, by, bx) — sweep axis at the
+            # untiled -3 position (free shifted slices), batched over a
+            # full (by, bx) tile.  Segment the sweep axis so only one
+            # segment's Riemann intermediates are live in VMEM; segments
+            # overlap by the 3-cell interface stencil.
+            npad_k = p_ref.shape[1]
+            nseg = 32
+            n_int = npad_k - 2 * NG
+            for s0 in range(0, n_int, nseg):
+                s1 = min(s0 + nseg, n_int)
+                sub = p_ref[:, s0 : s1 + 2 * NG, :, :]
+                m = None
+                if m_ref is not None:
+                    m = m_ref[0, s0 : s1 + 1, :, :] > 0.5
+                out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k,
+                                      dx, hll_mask=m, spos=-3)
+                o_ref[:, s0:s1, :, :] = out
             return
-        # sweep axis in the sublane position.  Process one lane-row chunk
-        # at a time (static unroll) so only ~one chunk's worth of Riemann
-        # intermediates is live in VMEM at once.
-        if p_ref.ndim == 3:        # 2D y-sweep: (nvar, npad, bx)
-            chunks = [None]
-        elif p_ref.shape[1] == 1:  # 3D y-sweep: (nvar, 1, npad, bx)
-            chunks = ["squeeze"]
-        else:                      # 3D z-sweep: (nvar, npad, by, bx)
-            chunks = list(range(p_ref.shape[2]))
-        for c in chunks:
-            if c is None:
-                sub = p_ref[...]
-                m = None if m_ref is None else m_ref[0, :, :]
-            elif c == "squeeze":
-                sub = p_ref[:, 0, :, :]
-                m = None if m_ref is None else m_ref[0, 0, :, :]
-            else:
-                sub = p_ref[:, :, c, :]
-                m = None if m_ref is None else m_ref[0, :, c, :]
-            t = jnp.swapaxes(sub, -1, -2)              # (nvar, bx, npad)
+        # squeeze any singleton block dims -> (nvar, a, b)
+        sub = p_ref[...].reshape((nvar,) + tuple(
+            s for s in p_ref.shape[1:] if s != 1))
+        m = None
+        if m_ref is not None:
+            m = m_ref[...].reshape(tuple(
+                s for s in m_ref.shape[1:] if s != 1))
+        if transpose:
+            sub = jnp.swapaxes(sub, -1, -2)            # (nvar, npad, bl)
             if m is not None:
-                m = jnp.swapaxes(m, -1, -2) > 0.5      # (bx, n+1)
-            out = _axis_tile_math(t, cfg, axis, order, dt_k, ch_k, dx,
-                                  hll_mask=m)
-            out = jnp.swapaxes(out, -1, -2)            # (nvar, n, bx)
-            if c is None:
-                o_ref[...] = out
-            elif c == "squeeze":
-                o_ref[:, 0, :, :] = out
-            else:
-                o_ref[:, :, c, :] = out
+                m = jnp.swapaxes(m, -1, -2)
+        if m is not None:
+            m = m > 0.5
+        out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k, dx,
+                              hll_mask=m)
+        if transpose:
+            out = jnp.swapaxes(out, -1, -2)            # (nvar, bl, n)
+        o_ref[...] = out.reshape(o_ref.shape)
 
     ni = n + 1
     if nd == 2:
         ny, nx = cfg.shape
-        if axis == 1:  # x sweep: Pt (nvar, ny, nx+4)
-            by = _pick_rows(ny)
-            grid = (ny // by,)
-            in_spec = pl.BlockSpec((nvar, by, npad), lambda i: (0, i, 0))
-            m_spec = pl.BlockSpec((1, by, ni), lambda i: (0, i, 0))
-            out_spec = pl.BlockSpec((nvar, by, n), lambda i: (0, i, 0))
+        if axis == 1:  # x sweep: Pt (nvar, ny, nx+4); lanes = y chunk
+            bl = _pick_lanes(ny)
+            grid = (ny // bl,)
+            in_spec = pl.BlockSpec((nvar, bl, npad), lambda i: (0, i, 0))
+            m_spec = pl.BlockSpec((1, bl, ni), lambda i: (0, i, 0))
+            out_spec = pl.BlockSpec((nvar, bl, n), lambda i: (0, i, 0))
             out_shape = jax.ShapeDtypeStruct((nvar, ny, n), Pt.dtype)
-            kfn = partial(kernel, sweep_last=True)
+            kfn = partial(kernel, transpose=True)
         else:          # y sweep: Pt (nvar, ny+4, nx)
             bx = _pick_lanes(nx)
             grid = (nx // bx,)
@@ -277,19 +297,19 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             m_spec = pl.BlockSpec((1, ni, bx), lambda i: (0, 0, i))
             out_spec = pl.BlockSpec((nvar, n, bx), lambda i: (0, 0, i))
             out_shape = jax.ShapeDtypeStruct((nvar, n, nx), Pt.dtype)
-            kfn = partial(kernel, sweep_last=False)
+            kfn = partial(kernel, transpose=False)
     else:
         nz, ny, nx = cfg.shape
-        if axis == 2:  # x sweep: Pt (nvar, nz, ny, nx+4)
-            by = _pick_rows(ny)
-            grid = (nz, ny // by)
-            in_spec = pl.BlockSpec((nvar, 1, by, npad),
+        if axis == 2:  # x sweep: Pt (nvar, nz, ny, nx+4); lanes = y chunk
+            bl = _pick_lanes(ny)
+            grid = (nz, ny // bl)
+            in_spec = pl.BlockSpec((nvar, 1, bl, npad),
                                    lambda i, j: (0, i, j, 0))
-            m_spec = pl.BlockSpec((1, 1, by, ni), lambda i, j: (0, i, j, 0))
-            out_spec = pl.BlockSpec((nvar, 1, by, n),
+            m_spec = pl.BlockSpec((1, 1, bl, ni), lambda i, j: (0, i, j, 0))
+            out_spec = pl.BlockSpec((nvar, 1, bl, n),
                                     lambda i, j: (0, i, j, 0))
             out_shape = jax.ShapeDtypeStruct((nvar, nz, ny, n), Pt.dtype)
-            kfn = partial(kernel, sweep_last=True)
+            kfn = partial(kernel, transpose=True)
         elif axis == 1:  # y sweep: Pt (nvar, nz, ny+4, nx)
             bx = _pick_lanes(nx)
             grid = (nz, nx // bx)
@@ -299,7 +319,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             out_spec = pl.BlockSpec((nvar, 1, n, bx),
                                     lambda i, j: (0, i, 0, j))
             out_shape = jax.ShapeDtypeStruct((nvar, nz, n, nx), Pt.dtype)
-            kfn = partial(kernel, sweep_last=False)
+            kfn = partial(kernel, transpose=False)
         else:          # z sweep: Pt (nvar, nz+4, ny, nx)
             bx = _pick_lanes(nx)
             by = _pick_rows(ny)  # second-to-last block dim must be 8-aligned
@@ -310,7 +330,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             out_spec = pl.BlockSpec((nvar, n, by, bx),
                                     lambda i, j: (0, 0, i, j))
             out_shape = jax.ShapeDtypeStruct((nvar, n, ny, nx), Pt.dtype)
-            kfn = partial(kernel, sweep_last=False)
+            kfn = partial(kernel, transpose=False, chunked=True)
 
     dt_a = dt.reshape(1)
     ch_a = ch_v.reshape(1)

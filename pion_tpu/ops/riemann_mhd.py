@@ -33,60 +33,68 @@ def _signal_speeds(Pl, Pr, cfg: SimConfig):
     return sl, sr
 
 
-def hll(Pl, Pr, cfg: SimConfig):
-    """Two-wave HLL flux (reference: HLLD_MHD.cpp:380-430 MHD_HLL_flux_solver)."""
+def _interface_common(Pl, Pr, cfg: SimConfig):
+    """Conserved states, fluxes and HLL wave speeds for one interface —
+    shared between HLLD and its HLL fallback so the fallback costs only the
+    (cheap) HLL mid-state algebra, not a second full state conversion."""
+    from .eqns import flux_from_pu
+
     ul = prim_to_cons(Pl, cfg)
     ur = prim_to_cons(Pr, cfg)
-    fl = flux_from_prim(Pl, cfg)
-    fr = flux_from_prim(Pr, cfg)
+    fl = flux_from_pu(Pl, ul, cfg)
+    fr = flux_from_pu(Pr, ur, cfg)
     sl, sr = _signal_speeds(Pl, Pr, cfg)
-    f_mid = (sr * fl - sl * fr + sr * sl * (ur - ul)) / (sr - sl)
+    return ul, ur, fl, fr, sl, sr
+
+
+def hll(Pl, Pr, cfg: SimConfig, common=None):
+    """Two-wave HLL flux (reference: HLLD_MHD.cpp:380-430 MHD_HLL_flux_solver)."""
+    ul, ur, fl, fr, sl, sr = common or _interface_common(Pl, Pr, cfg)
+    inv_ds = 1.0 / (sr - sl)
+    f_mid = (sr * fl - sl * fr + sr * sl * (ur - ul)) * inv_ds
     f = jnp.where(sl > 0.0, fl, jnp.where(sr < 0.0, fr, f_mid))
-    ustar = (sr * ur - sl * ul + fl - fr) / (sr - sl)
+    ustar = (sr * ur - sl * ul + fl - fr) * inv_ds
     return f, ustar
 
 
-def hlld(Pl, Pr, cfg: SimConfig):
+def hlld(Pl, Pr, cfg: SimConfig, common=None):
     """HLLD five-wave solver (Miyoshi & Kusano 2005; reference:
     HLLD_MHD.cpp:120-335).  Branch structure becomes nested ``where`` masks;
     the Bx->0 degeneracy is guarded exactly as in the paper (eq. 44-47)."""
     g = cfg.gamma
     bx = 0.5 * (Pl[BX] + Pr[BX])
 
-    ul = prim_to_cons(Pl, cfg)
-    ur = prim_to_cons(Pr, cfg)
-    fl = flux_from_prim(Pl, cfg)
-    fr = flux_from_prim(Pr, cfg)
-    sl, sr = _signal_speeds(Pl, Pr, cfg)
+    ul, ur, fl, fr, sl, sr = common or _interface_common(Pl, Pr, cfg)
 
     ptl = Pl[PG] + 0.5 * (bx * bx + Pl[BY] ** 2 + Pl[BZ] ** 2)
     ptr = Pr[PG] + 0.5 * (bx * bx + Pr[BY] ** 2 + Pr[BZ] ** 2)
     sl_vl = sl - Pl[VX]
     sr_vr = sr - Pr[VX]
-    denom = sr_vr * Pr[RO] - sl_vl * Pl[RO]
+    inv_denom = 1.0 / (sr_vr * Pr[RO] - sl_vl * Pl[RO])
     # entropy-wave speed S_M (m05 eq. 38)
-    sm = (sr_vr * ur[VX] - sl_vl * ul[VX] - ptr + ptl) / denom
+    sm = (sr_vr * ur[VX] - sl_vl * ul[VX] - ptr + ptl) * inv_denom
     # total pressure in the star region (m05 eq. 41)
     pts = (sr_vr * Pr[RO] * ptl - sl_vl * Pl[RO] * ptr
-           + Pl[RO] * Pr[RO] * sr_vr * sl_vl * (Pr[VX] - Pl[VX])) / denom
+           + Pl[RO] * Pr[RO] * sr_vr * sl_vl * (Pr[VX] - Pl[VX])) * inv_denom
 
     def star(PK, uK, sK, sK_vK, ptK):
         sK_sm = sK - sm
-        rho_s = PK[RO] * sK_vK / sK_sm                      # m05 eq. 43
+        inv_sK_sm = 1.0 / sK_sm
+        rho_s = PK[RO] * sK_vK * inv_sK_sm                  # m05 eq. 43
         # m05 eq. 44/46-47 with degeneracy guard
         dd = PK[RO] * sK_vK * sK_sm - bx * bx
         degenerate = jnp.abs(dd) < _TINY * (PK[RO] * sK_vK * sK_vK + bx * bx + _TINY)
-        dd_safe = jnp.where(degenerate, 1.0, dd)
-        fac_v = bx * (sm - PK[VX]) / dd_safe
+        inv_dd = 1.0 / jnp.where(degenerate, 1.0, dd)
+        fac_v = bx * (sm - PK[VX]) * inv_dd
         vy_s = jnp.where(degenerate, PK[VY], PK[VY] - PK[BY] * fac_v)
         vz_s = jnp.where(degenerate, PK[VZ], PK[VZ] - PK[BZ] * fac_v)
-        fac_b = (PK[RO] * sK_vK * sK_vK - bx * bx) / dd_safe
+        fac_b = (PK[RO] * sK_vK * sK_vK - bx * bx) * inv_dd
         by_s = jnp.where(degenerate, PK[BY], PK[BY] * fac_b)
         bz_s = jnp.where(degenerate, PK[BZ], PK[BZ] * fac_b)
         vdotb_K = PK[VX] * bx + PK[VY] * PK[BY] + PK[VZ] * PK[BZ]
         vdotb_s = sm * bx + vy_s * by_s + vz_s * bz_s
         e_s = (sK_vK * uK[PG] - ptK * PK[VX] + pts * sm
-               + bx * (vdotb_K - vdotb_s)) / sK_sm           # m05 eq. 48
+               + bx * (vdotb_K - vdotb_s)) * inv_sK_sm       # m05 eq. 48
         us = [rho_s, e_s, rho_s * sm, rho_s * vy_s, rho_s * vz_s,
               jnp.full_like(rho_s, 1.0) * bx, by_s, bz_s]
         pad = [jnp.zeros_like(rho_s)] * (PK.shape[0] - 8)
@@ -103,18 +111,18 @@ def hlld(Pl, Pr, cfg: SimConfig):
 
     # double-star states (m05 eq. 59-62)
     sgn_bx = jnp.sign(bx) + (bx == 0.0)  # sign(0) := +1 to avoid NaNs
-    ssum = sqrt_rls + sqrt_rrs
-    vy_ss = (sqrt_rls * vyl_s + sqrt_rrs * vyr_s + (byr_s - byl_s) * sgn_bx) / ssum
-    vz_ss = (sqrt_rls * vzl_s + sqrt_rrs * vzr_s + (bzr_s - bzl_s) * sgn_bx) / ssum
+    inv_ssum = 1.0 / (sqrt_rls + sqrt_rrs)
+    sqrt_rlrs = sqrt_rls * sqrt_rrs
+    vy_ss = (sqrt_rls * vyl_s + sqrt_rrs * vyr_s + (byr_s - byl_s) * sgn_bx) * inv_ssum
+    vz_ss = (sqrt_rls * vzl_s + sqrt_rrs * vzr_s + (bzr_s - bzl_s) * sgn_bx) * inv_ssum
     by_ss = (sqrt_rls * byr_s + sqrt_rrs * byl_s
-             + sqrt_rls * sqrt_rrs * (vyr_s - vyl_s) * sgn_bx) / ssum
+             + sqrt_rlrs * (vyr_s - vyl_s) * sgn_bx) * inv_ssum
     bz_ss = (sqrt_rls * bzr_s + sqrt_rrs * bzl_s
-             + sqrt_rls * sqrt_rrs * (vzr_s - vzl_s) * sgn_bx) / ssum
+             + sqrt_rlrs * (vzr_s - vzl_s) * sgn_bx) * inv_ssum
     vdotb_ss = sm * bx + vy_ss * by_ss + vz_ss * bz_ss
 
-    def dstar(us, vy_s, vz_s, by_s, bz_s, sgn):
+    def dstar(us, sq, vy_s, vz_s, by_s, bz_s, sgn):
         rho = us[RO]
-        sq = jnp.sqrt(rho)
         vdotb_s = sm * bx + vy_s * by_s + vz_s * bz_s
         e_ss = us[PG] + sgn * sq * (vdotb_s - vdotb_ss) * sgn_bx  # m05 eq. 63
         uss = [rho, e_ss, rho * sm, rho * vy_ss, rho * vz_ss,
@@ -122,8 +130,8 @@ def hlld(Pl, Pr, cfg: SimConfig):
         pad = [jnp.zeros_like(rho)] * (us.shape[0] - 8)
         return jnp.stack(uss + pad)
 
-    ulss = dstar(uls, vyl_s, vzl_s, byl_s, bzl_s, -1.0)
-    urss = dstar(urs, vyr_s, vzr_s, byr_s, bzr_s, +1.0)
+    ulss = dstar(uls, sqrt_rls, vyl_s, vzl_s, byl_s, bzl_s, -1.0)
+    urss = dstar(urs, sqrt_rrs, vyr_s, vzr_s, byr_s, bzr_s, +1.0)
 
     # Flux assembly (m05 eq. 64-66; reference :294-325)
     f_ls = fl + sl * (uls - ul)
@@ -159,12 +167,14 @@ def hlld_with_hll_fallback(Pl, Pr, cfg: SimConfig, use_hll_mask=None):
     zones (reference: solver_eqn_mhd_adi.cpp:167-185, Mignone et al. 2011).
 
     ``use_hll_mask`` is a boolean interface array computed by the sweep driver
-    from div(v)<0 and |grad p|*dx/p > 5.
+    from div(v)<0 and |grad p|*dx/p > 5.  The conserved states, fluxes and
+    wave speeds are computed once and shared between both solvers.
     """
-    f_d, u_d = hlld(Pl, Pr, cfg)
     if use_hll_mask is None:
-        return f_d, u_d
-    f_h, u_h = hll(Pl, Pr, cfg)
+        return hlld(Pl, Pr, cfg)
+    common = _interface_common(Pl, Pr, cfg)
+    f_d, u_d = hlld(Pl, Pr, cfg, common)
+    f_h, u_h = hll(Pl, Pr, cfg, common)
     return (
         jnp.where(use_hll_mask, f_h, f_d),
         jnp.where(use_hll_mask, u_h, u_d),

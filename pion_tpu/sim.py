@@ -48,6 +48,7 @@ class Simulation:
         self.fns = make_step_fns(self.cfg, self.geom, self.bdata,
                                  physics=self.physics)
         self._ckpt_flip = 0
+        self._writer = None  # lazy AsyncSnapshotWriter
 
     @classmethod
     def restart(cls, path: str, **kw) -> "Simulation":
@@ -59,25 +60,41 @@ class Simulation:
         sim = cls(cfg, jnp.asarray(P), t=t, step_count=step, **kw)
         return sim
 
-    def save(self, path: Optional[str] = None) -> str:
-        from .io import save_snapshot
-
+    def save(self, path: Optional[str] = None, wait: bool = True) -> str:
+        """Write a snapshot; with ``wait=False`` it is queued on the
+        background writer thread and the step loop continues immediately
+        (the PMPIO-overlap equivalent)."""
         if path is None:
             assert self.outfile, "set Simulation.outfile or pass a path"
             path = f"{self.outfile}.{self.step_count:08d}"
-        return save_snapshot(path, np.asarray(self.P), self.cfg,
-                             self.t, self.step_count)
+        if wait:
+            from .io import save_snapshot
+
+            self.flush_io()
+            return save_snapshot(path, np.asarray(self.P), self.cfg,
+                                 self.t, self.step_count)
+        if self._writer is None:
+            from .io.snapshot import AsyncSnapshotWriter
+
+            self._writer = AsyncSnapshotWriter()
+        self._writer.submit(path, self.P, self.cfg, self.t, self.step_count)
+        return path
+
+    def flush_io(self):
+        """Block until queued async snapshots are on disk."""
+        if self._writer is not None:
+            self._writer.wait()
 
     def _maybe_output(self):
         if self.outfile is None:
             return
         if self.opfreq and self.step_count % self.opfreq == 0:
-            self.save()
+            self.save(wait=False)
         if self.checkpoint_freq and self.step_count % self.checkpoint_freq == 0:
             # alternate two files like the reference's .999999/.999998
             suffix = 999999 - self._ckpt_flip
             self._ckpt_flip ^= 1
-            self.save(f"{self.outfile}.{suffix}")
+            self.save(f"{self.outfile}.{suffix}", wait=False)
 
     # -- dt policy (reference: calc_timestep.cpp:219-260) ------------------
     def compute_dt(self) -> float:
@@ -110,4 +127,5 @@ class Simulation:
         self.P.block_until_ready()
         if self.outfile is not None:
             self.save()
+        self.flush_io()
         return self

@@ -58,7 +58,9 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
         use = pallas_sweep.supports(cfg) and (
             cfg.pallas in ("on", "interpret")
             or (cfg.pallas == "auto"
-                and jax.default_backend() in ("tpu", "axon"))
+                and jax.default_backend() in ("tpu", "axon")
+                # Mosaic has no native f64; f64 runs use the XLA sweep
+                and cfg.dtype == "float32")
         )
         if use:
             dU = pallas_sweep.dynamics_dU_pallas(

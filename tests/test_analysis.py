@@ -110,3 +110,55 @@ def test_xray_band_tables():
     lo = np.asarray(xray_emissivity(one, one, T, 0.2))
     hi = np.asarray(xray_emissivity(one, one, T, 0.5))
     assert np.all(mid <= lo * 1.0001) and np.all(mid >= hi * 0.9999)
+
+
+def test_project_3d_full_menu():
+    """All reference projection quantities (projection_constants.h:5-24)
+    produce finite images; RM flips sign with B_los; Stokes Q sign tracks
+    which plane-of-sky component dominates."""
+    from pion_tpu.constants import BX, BY, BZ
+
+    cfg = SimConfig(ndim=3, eqn=Eqn.MHD, shape=(8, 8, 8),
+                    xmin=(0.0,) * 3, xmax=(3.0e18,) * 3,
+                    bcs=(("outflow", "outflow"),) * 3)
+    P = np.zeros((cfg.nvar, 8, 8, 8))
+    P[RO] = 100.0 * M_P
+    P[PG] = 220.0 * K_B * 1.0e4
+    P[BX] = 2.0e-6
+    P[BY] = 1.0e-6
+    P[BZ] = 0.5e-6
+    quantities = ("em", "halpha", "nii", "xray", "density", "neutral",
+                  "ionized", "brems6ghz", "stokes_q", "stokes_u",
+                  "bxabs", "byabs", "rm")
+    imgs = project_3d(jnp.asarray(P), cfg, axis=0, quantities=quantities)
+    for q in quantities:
+        img = np.asarray(imgs[q])
+        assert img.shape == (8, 8), q
+        assert np.all(np.isfinite(img)), q
+    # LOS along array axis 0 = physical z: RM proportional to Bz
+    rm1 = np.asarray(imgs["rm"])
+    P[BZ] *= -1.0
+    rm2 = np.asarray(project_3d(jnp.asarray(P), cfg, axis=0,
+                                quantities=("rm",))["rm"])
+    np.testing.assert_allclose(rm2, -rm1, rtol=1e-6)
+    # plane-of-sky components are (x, y); |Bx| > |By| -> Q > 0
+    assert np.all(np.asarray(imgs["stokes_q"]) > 0.0)
+    # surface density of a uniform box = rho * L
+    np.testing.assert_allclose(np.asarray(imgs["density"]),
+                               100.0 * M_P * 3.0e18, rtol=1e-5)
+
+
+def test_project_axisymmetric_extra_quantities():
+    n = 16
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, coords=Coord.CYLINDRICAL,
+                    ntracer=1, shape=(n, n), xmin=(0.0, 0.0),
+                    xmax=(3.0e18, 3.0e18),
+                    bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")))
+    P = np.zeros((cfg.nvar, n, n))
+    P[RO] = 100.0 * M_P / 0.7297
+    P[PG] = 2.2 * 100.0 * K_B * 1.0e4
+    imgs = project_axisymmetric(jnp.asarray(P), cfg,
+                                quantities=("density", "neutral", "ionized",
+                                            "brems6ghz"))
+    for q, img in imgs.items():
+        assert img.shape == (n, n) and np.all(np.isfinite(np.asarray(img))), q

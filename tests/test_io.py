@@ -102,3 +102,40 @@ def test_npz_to_fits_converter(tmp_path):
     P2, cfg2, t = read_fits(f)
     assert cfg2 == cfg and t == 0.25
     np.testing.assert_array_equal(P2, P0)
+
+
+def test_async_writer_restartable(tmp_path):
+    """Async (queued) snapshots must be complete restart files identical to
+    synchronous ones, and a restart from a mid-run async snapshot must
+    reproduce the uninterrupted run."""
+    from pion_tpu.io.snapshot import AsyncSnapshotWriter
+
+    cfg, P0 = make()
+    sim = Simulation(cfg, jnp.asarray(P0), outfile=str(tmp_path / "run"),
+                     opfreq=10)
+    sim.run(max_steps=30)     # emits async snapshots at steps 10,20,30 + final
+    sim.flush_io()
+    snap = str(tmp_path / "run.00000020")
+    cfg2, P2, t2, step2 = load_snapshot(snap)
+    assert cfg2 == cfg and step2 == 20
+
+    # direct writer round-trip vs synchronous save
+    w = AsyncSnapshotWriter()
+    w.submit(str(tmp_path / "async"), P0, cfg, 0.5, 7)
+    w.close()
+    p_sync = save_snapshot(str(tmp_path / "sync"), P0, cfg, 0.5, 7)
+    ca, Pa, ta, sa = load_snapshot(str(tmp_path / "async"))
+    cs, Ps, ts, ss = load_snapshot(p_sync)
+    assert ca == cs and (ta, sa) == (ts, ss)
+    np.testing.assert_array_equal(Pa, Ps)
+
+    # restart from the async mid-run snapshot reproduces the full run
+    sim_a = Simulation(cfg, jnp.asarray(P0))
+    sim_a.run()
+    sim_c = Simulation.restart(snap)
+    sim_b = Simulation(cfg, jnp.asarray(P0))
+    sim_b.run(max_steps=20)
+    sim_c.last_dt = sim_b.last_dt
+    sim_c.run()
+    res = compare_states(np.asarray(sim_a.P), np.asarray(sim_c.P))
+    assert res["all_max"] < 1e-12, res
