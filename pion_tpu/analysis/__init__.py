@@ -3,6 +3,7 @@ from .projection import (  # noqa: F401
     halpha_emissivity,
     nii6584_emissivity,
     project_3d,
+    project_3d_los,
     project_axisymmetric,
     xray_emissivity,
 )

@@ -37,8 +37,10 @@ def _gas_quantities(P, cfg: SimConfig, mp=None):
         nH = P[RO] / (M_P / 0.715)
         ne = 1.1 * nH
         n_hp = nH
-        T = P[PG] / (2.2 * nH * K_B)
-    return ne, n_hp, nH, T
+        T = P[PG] / (2.2 * jnp.maximum(nH, 1.0e-30) * K_B)
+    # floor T so vacuum/out-of-domain samples (rho=p=0 after an angled-LOS
+    # rotation) give 0 * finite instead of 0 * inf in T-power emissivities
+    return ne, n_hp, nH, jnp.maximum(T, 1.0)
 
 
 def halpha_emissivity(ne, n_hp, T):
@@ -282,3 +284,67 @@ def project_3d(P, cfg: SimConfig, axis: int = 0, mp=None,
             raise ValueError(f"unknown projection quantity {q}")
         out[q] = jnp.sum(j, axis=axis) * cfg.dx
     return out
+
+
+def _rotate_cube(P, cfg: SimConfig, axis: int, theta: float):
+    """Resample the state so a line of sight tilted by ``theta`` lies along
+    array ``axis``.
+
+    TPU-native equivalent of projection3D's tilted-ray sampling
+    (reference: analysis/projection3D/sim_projection.cpp builds rays at
+    angle theta and bilinearly averages the 4 neighbouring cells per sample
+    point — point_quantities.cpp `point_4cellavg` weights); here the whole
+    cube is resampled once with trilinear ``map_coordinates`` (one fused
+    gather, ideal for XLA) and vector components are rotated into the
+    image frame.  Out-of-domain samples are zero (vacuum), matching rays
+    leaving the box.
+    """
+    from jax.scipy.ndimage import map_coordinates
+
+    assert cfg.ndim == 3
+    # rotation plane: (LOS axis, the non-vertical image axis)
+    perp = 2 if axis != 2 else 0
+    ct = float(np.cos(theta))
+    st = float(np.sin(theta))
+    grids = jnp.meshgrid(*[jnp.arange(n, dtype=P.dtype)
+                           for n in cfg.shape], indexing="ij")
+    c_a = 0.5 * (cfg.shape[axis] - 1)
+    c_p = 0.5 * (cfg.shape[perp] - 1)
+    da = grids[axis] - c_a
+    dp = grids[perp] - c_p
+    coords = list(grids)
+    coords[axis] = ct * da - st * dp + c_a
+    coords[perp] = st * da + ct * dp + c_p
+
+    def sample(plane):
+        return map_coordinates(plane, coords, order=1, mode="constant",
+                               cval=0.0)
+
+    out = [sample(P[v]) for v in range(P.shape[0])]
+    # rotate vector components (velocity and B) into the tilted frame:
+    # physical axis of array axis a is k = ndim-1-a
+    from ..constants import BX as _BX, VX as _VX
+
+    ka, kp = cfg.ndim - 1 - axis, cfg.ndim - 1 - perp
+    bases = [_VX] + ([_BX] if cfg.eqn.is_mhd else [])
+    for base in bases:
+        va, vp = out[base + ka], out[base + kp]
+        out[base + ka] = ct * va + st * vp
+        out[base + kp] = -st * va + ct * vp
+    return jnp.stack(out)
+
+
+def project_3d_los(P, cfg: SimConfig, axis: int = 0, theta: float = 0.0,
+                   mp=None, quantities=("em", "halpha"),
+                   e_min_kev: float = 0.1) -> Dict[str, jnp.ndarray]:
+    """Project a 3D snapshot along a line of sight tilted by ``theta``
+    radians from grid ``axis`` (reference: analysis/projection3D/
+    main_projection.cpp — normal axis + angle in [-89, 89] degrees).
+
+    ``theta=0`` reduces exactly to :func:`project_3d`."""
+    if theta == 0.0:
+        return project_3d(P, cfg, axis=axis, mp=mp, quantities=quantities,
+                          e_min_kev=e_min_kev)
+    Pr = _rotate_cube(P, cfg, axis, theta)
+    return project_3d(Pr, cfg, axis=axis, mp=mp, quantities=quantities,
+                      e_min_kev=e_min_kev)

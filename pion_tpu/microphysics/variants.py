@@ -9,9 +9,12 @@
   no metals, so JM_NION=JM_NELEC=1 and all metal terms vanish.
 
 The legacy modules MPv0/1/2/4 are superseded by MPv3 in the reference
-(MPv4.h:6-15 "used in Mackey 2012 tests only"), MPv9 is compiled out by
-default (defines/functionality_flags.h EXCLUDE_MPV9) and MPv10 is marked
-"not yet working, do not use" (MPv10.h:10-21); they are intentionally not
+(MPv4.h:6-15 "used in Mackey 2012 tests only") and are compiled out of
+default reference builds — their sources are guarded by `#ifdef
+LEGACY_CODE` (MPv1.h:36), set only by opting `-DLEGACY_CODE` into
+PION_OPTIONS (bin_serial/Makefile:301).  MPv9 is likewise compiled out
+(defines/functionality_flags.h EXCLUDE_MPV9) and MPv10 is marked "not yet
+working, do not use" (MPv10.h:10-21); they are intentionally not
 reproduced.
 """
 from __future__ import annotations

@@ -162,3 +162,41 @@ def test_project_axisymmetric_extra_quantities():
                                             "brems6ghz"))
     for q, img in imgs.items():
         assert img.shape == (n, n) and np.all(np.isfinite(np.asarray(img))), q
+
+
+def test_project_3d_tilted_los():
+    """Angled-LOS projection: a uniform cube's interior column scales as
+    1/cos(theta); a LOS-aligned B field keeps |B| in the RM integrand after
+    frame rotation; theta=0 reduces to project_3d exactly."""
+    from pion_tpu.analysis import project_3d_los
+    from pion_tpu.constants import BX, BY, BZ
+
+    n = 32
+    cfg = SimConfig(ndim=3, eqn=Eqn.MHD, shape=(n, n, n),
+                    xmin=(0.0,) * 3, xmax=(3.0e18,) * 3,
+                    bcs=(("outflow", "outflow"),) * 3)
+    P = np.zeros((cfg.nvar, n, n, n))
+    P[RO] = 100.0 * M_P
+    P[PG] = 220.0 * K_B * 1.0e4
+    P[BZ] = 2.0e-6  # along array axis 0 (the LOS)
+
+    base = project_3d_los(jnp.asarray(P), cfg, axis=0, theta=0.0,
+                          quantities=("density", "rm"))
+    from pion_tpu.analysis import project_3d
+    ref = project_3d(jnp.asarray(P), cfg, axis=0,
+                     quantities=("density", "rm"))
+    np.testing.assert_array_equal(np.asarray(base["density"]),
+                                  np.asarray(ref["density"]))
+
+    theta = 0.3
+    tilt = project_3d_los(jnp.asarray(P), cfg, axis=0, theta=theta,
+                          quantities=("density", "rm"))
+    dens = np.asarray(tilt["density"])
+    # central pixel: full chord through the cube, length L/cos(theta)
+    mid = dens[n // 2, n // 2]
+    expect = 100.0 * M_P * 3.0e18 / np.cos(theta)
+    np.testing.assert_allclose(mid, expect, rtol=0.05)
+    # B was along the old LOS; after rotation b_los = |B| cos(theta)
+    rm_mid = np.asarray(tilt["rm"])[n // 2, n // 2]
+    rm0 = np.asarray(base["rm"])[n // 2, n // 2]
+    np.testing.assert_allclose(rm_mid, rm0, rtol=0.05)

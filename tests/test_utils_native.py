@@ -104,3 +104,39 @@ ntracer 1
     assert cfg.cfl == 0.3
     assert cfg.ntracer == 1
     assert cfg.tmax == 0.5
+
+
+def test_cell_inspector(tmp_path):
+    """Reference CLI-debugger parity: fpt/lpt/next_point/end_of_col walk and
+    print_cell (tools/command_line_interface.cpp:54-65 demo sequence)."""
+    import numpy as np
+    from pion_tpu import SimConfig
+    from pion_tpu.debug import CellInspector, inspect_snapshot
+    from pion_tpu.io import save_snapshot
+
+    cfg = SimConfig(ndim=2, eqn="euler", shape=(4, 8), xmin=(0.0, 0.0),
+                    xmax=(2.0, 1.0), bcs=(("outflow", "outflow"),) * 2)
+    P = np.arange(cfg.nvar * 4 * 8, dtype=float).reshape(cfg.nvar, 4, 8)
+    dbg = CellInspector(P, cfg)
+    assert dbg.fpt() == (0, 0)
+    assert dbg.end_of_col("YP") == (3, 0)     # y = array axis 0 in 2D
+    assert dbg.next_point("YP") == (3, 0)     # clamped at edge
+    assert dbg.next_point("XP") == (3, 1)
+    assert dbg.next_point("YN") == (2, 1)
+    assert dbg.lpt() == (3, 7)
+    cell = dbg.print_cell(out=lambda *_: None)
+    assert cell["rho"] == P[0, 3, 7]
+    # physical position: x fastest axis
+    x, y = dbg.position()
+    assert abs(x - (7 + 0.5) * cfg.dx) < 1e-12
+    mm = dbg.minmax(out=lambda *_: None)
+    assert mm["rho"] == (P[0].min(), P[0].max(), 0)
+    # snapshot entry point
+    p = save_snapshot(str(tmp_path / "s"), P, cfg, 0.0, 0)
+    dbg2 = inspect_snapshot(p)
+    assert dbg2.goto(1, 2) == (1, 2)
+    # repl drives the same methods
+    cmds = iter(["fpt", "next_point XP", "print_cell", "minmax", "quit"])
+    lines = []
+    dbg2.repl(input_fn=lambda _: next(cmds), out=lines.append)
+    assert any("rho" in l for l in lines)
