@@ -1,0 +1,429 @@
+"""User-facing entry points — the reference's ``icgen`` and ``pion`` binaries.
+
+Reference: source/ics/icgen.cpp:83-257 (param file -> grid -> IC generator
+dispatch -> snapshot) and source/main.cpp:62-158 (param file OR restart
+snapshot -> Init -> Time_Int -> Finalise, with restart auto-detection at
+main.cpp:99-112 and CLI ``name=value`` overrides at sim_init.cpp:329-660).
+
+Usage::
+
+    python -m pion_tpu icgen params_problem.txt [name=value ...]
+    python -m pion_tpu run   params_problem.txt [name=value ...]
+    python -m pion_tpu run   snapshot.snap      [name=value ...]
+
+Reads the reference's actual parameter-file dialect (test_problems/*.txt),
+including radiation-source (``RT_*``), stellar-wind (``WIND_*``) and
+chemistry (``chem_code``/``EP_*``) sections.
+"""
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import SimConfig
+from .constants import MSUN, RSUN, YEAR, PG, RO, VX
+from .io.params import apply_overrides, config_from_params, read_paramfile
+
+KM = 1.0e5
+
+
+def _array_order(xyz, ndim):
+    """Reference (x,y,z) -> array-order tuple of length ndim."""
+    return tuple(reversed(xyz[:ndim]))
+
+
+# ---------------------------------------------------------------------------
+# IC dispatch (reference: ics/icgen_base.cpp:36-130 setup_ics_type)
+# ---------------------------------------------------------------------------
+
+def _ambient_from_params(cfg, params, prefix="PEC_amb"):
+    """Ambient primitive state from e.g. PEC_ambRO/PG/VX.../TR0... params."""
+    g = lambda k, d=0.0: float(params.get(prefix + k, d))
+    state = np.zeros(cfg.nvar)
+    state[RO] = g("RO", 1.0)
+    state[PG] = g("PG", 1.0)
+    for i, c in enumerate("XYZ"):
+        state[VX + i] = g("V" + c)
+    if cfg.eqn.is_mhd:
+        from .constants import BX
+
+        for i, c in enumerate("XYZ"):
+            state[BX + i] = g("B" + c)
+    for i in range(cfg.ntracer):
+        state[cfg.eqn.nbase + i] = g(f"TR{i}")
+    return state
+
+
+def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
+    """Generate the initial primitive state for the ``ics`` named problem."""
+    from . import ics as gen
+
+    name = params.get("ics", "Uniform")
+    gp = lambda k, d: type(d)(params.get(k, d))
+
+    if name == "ShockTube":
+        n = int(params.get("STnumber", 1))
+        if cfg.eqn.is_mhd:
+            return gen.brio_wu(cfg)
+        return gen.toro_tests(cfg, n)
+    if name == "Uniform":
+        from .ics.problems import uniform
+
+        return uniform(cfg, _ambient_from_params(cfg, params))
+    if name == "Advection":
+        return gen.advection_pulse(cfg)
+    if name == "AdvectSineWave":
+        return gen.advect_sine_wave(cfg)
+    if name == "OrszagTang":
+        return gen.orszag_tang(cfg)
+    if name in ("KelvinHelmholz", "KelvinHelmholzStone"):
+        return gen.kelvin_helmholtz(cfg)
+    if name == "FieldLoop":
+        return gen.field_loop(cfg)
+    if name == "FieldLoopVz":
+        return gen.field_loop(cfg, vz=1.0)
+    if name == "FieldLoopStatic":
+        return gen.field_loop(cfg, v=(0.0, 0.0))
+    if name == "LiskaWendroffImplosion":
+        return gen.liska_wendroff_implosion(cfg)
+    if name == "DoubleMachRef":
+        return gen.double_mach_reflection(cfg)
+    if name in ("Jet", "JET", "jet"):
+        return gen.jet_ambient(
+            cfg, rho_amb=gp("JETambRO", 1.0), p_amb=gp("JETambPG", 1.0))
+    if name in ("RadiativeShock", "RadiativeShockOutflow"):
+        fn = (gen.radiative_shock if name == "RadiativeShock"
+              else gen.radiative_shock_outflow)
+        return fn(cfg, vsh=gp("RADSH_vs", 1.0e7), rho0=gp("RADSH_r0", 1.0e-22),
+                  T0=gp("RADSH_T0", 1.0e4))
+    if name in ("LaserAblationAxi", "LaserAblation3D"):
+        return gen.laser_ablation(cfg)
+    if name == "ShockCloud":
+        return gen.shock_cloud(cfg, mach=gp("SCmach", 10.0),
+                               rho_cloud=gp("SCdratio", 10.0))
+    if name in ("BlastWave", "BlastWave_File"):
+        return gen.blast_wave(cfg)
+    if name in ("Clump_Spherical", "Clump_Axisymmetric"):
+        return gen.spherical_clump(cfg)
+    if name in ("PhotEvap_RandomClumps", "PERC", "PERC2",
+                "PhotEvap_RandomClumps2"):
+        return gen.random_clumps(cfg, seed=int(params.get("PERCrandomseed", 0)))
+    if name in ("PhotEvap_MultiClumps_FixNum", "PE_MC_FN"):
+        return gen.multi_clumps(cfg, mode="fixnum")
+    if name in ("PhotEvap_MultiClumps_FixMass", "PE_MC_FM"):
+        return gen.multi_clumps(cfg, mode="fixmass")
+    if name in ("PhotoEvaporatingClump", "PhotoEvaporatingClump2"):
+        amb = _ambient_from_params(cfg, params)
+        return gen.spherical_clump(
+            cfg, rho_amb=amb[RO], p_amb=amb[PG],
+            rho_max=gp("PECdratio", 100.0) * amb[RO])
+    if name == "PhotoEvap_radial":
+        center = _array_order(
+            [float(params.get(f"PEC_xpos{d}",
+                              0.5 * (cfg.xmin[cfg.ndim - 1 - d]
+                                     + cfg.xmax[cfg.ndim - 1 - d])
+                              if d < cfg.ndim else 0.0))
+             for d in range(3)], cfg.ndim)
+        r0 = float(params.get("PECcloudradius",
+                              0.1 * (cfg.xmax[0] - cfg.xmin[0])))
+        return gen.photoevap_radial(cfg, _ambient_from_params(cfg, params),
+                                    cloud_center=center, r0=r0)
+    if name == "PhotoEvap_powerlaw":
+        return gen.photoevap_powerlaw(cfg, _ambient_from_params(cfg, params))
+    if name == "PhotoEvap_paralleltest":
+        return gen.photoevap_paralleltest(cfg,
+                                          _ambient_from_params(cfg, params))
+    if name == "PhotoEvap_CloudClump":
+        return gen.photoevap_cloudclump(cfg)
+    if name.startswith("StarBench_"):
+        from .ics import starbench as sb
+
+        if name.startswith("StarBench_ContactDiscontinuity"):
+            return sb.contact_discontinuity(
+                cfg, test_id=int(name[-1]),
+                vx=float(params.get("StarBench_ContDisc_VX", 0.0)),
+                vy=float(params.get("StarBench_ContDisc_VY", 0.0)))
+        if name.startswith("StarBench_IFI"):
+            test = name[-1] if name[-1] in "ABC" else "A"
+            return sb.ifi_test(cfg, test=test)
+        if name == "StarBench_IrrCloud_Uniform":
+            return sb.irradiated_cloud(cfg, profile="uniform")
+        if name == "StarBench_IrrCloud_IsoSph":
+            return sb.irradiated_cloud(cfg, profile="isosph")
+        if name == "StarBench_TremblinCooling":
+            return sb.tremblin_cooling(cfg)
+        if name == "StarBench_Cone":
+            return sb.cone(cfg)
+        raise ValueError(f"unknown StarBench problem {name}")
+    if name == "1Dto2D":
+        from .io import load_snapshot
+        from .ics import map_1d_to_2d
+
+        cfg1, P1, _t, _s = load_snapshot(params["ICfilename"])
+        r = cfg1.cell_centers(0)
+        return map_1d_to_2d(r, np.asarray(P1), cfg)
+    if name == "ReadBBTurbulence":
+        from .ics import from_turbulence_cube
+
+        cube = np.load(params["BBT_file"])
+        rho = cube["rho"] if hasattr(cube, "files") else cube
+        return from_turbulence_cube(cfg, rho)
+    raise ValueError(f"unknown ics type {name!r} "
+                     "(reference menu: icgen_base.cpp:36-130)")
+
+
+# ---------------------------------------------------------------------------
+# Physics from the RT_* / WIND_* / chem_code sections
+# ---------------------------------------------------------------------------
+
+def _tracer_slot(cfg: SimConfig, params) -> int:
+    """Index of the H ion-fraction tracer (Tracer000 H1+ style names)."""
+    for i in range(cfg.ntracer):
+        nm = params.get(f"Tracer{i:03d}", "").lower()
+        if nm in ("h1+", "hii", "h1p", "ion-h", "x_h1+"):
+            return cfg.eqn.nbase + i
+    return cfg.eqn.nbase  # first tracer by convention
+
+
+def sources_from_params(cfg: SimConfig, params) -> List:
+    """RT_* section -> raytracing Source list
+    (reference: dataio_base.cpp RT_ parameter registry; effect codes 1=UV
+    heating, 2=mono-photoionisation, 3=multifrequency)."""
+    from .raytracing import Source
+
+    n = int(params.get("RT_Nsources", 0) or 0)
+    out = []
+    for i in range(n):
+        g = lambda k, d=0.0: float(params.get(f"RT_{k}_{i}",
+                                              params.get(f"RT_{k}__{i}",
+                                              params.get(f"RT_{k}____{i}", d))))
+        pos_xyz = [float(params.get(f"RT_position_{i}_{d}", 0.0))
+                   for d in range(3)]
+        effect = {1: "uv_heating", 2: "mono", 3: "mfion"}[
+            int(g("effect__", g("effect", 2)))]
+        at_inf = bool(int(g("at_infty", 0)))
+        src = Source(
+            position=_array_order(pos_xyz, cfg.ndim),
+            at_infinity=at_inf,
+            strength=g("strength", 0.0),
+            effect=effect,
+        )
+        out.append(src)
+    return out
+
+
+def winds_from_params(cfg: SimConfig, params) -> List:
+    """WIND_* section -> WindSource list (reference: stellar_wind_BC.cpp
+    add_source — Mdot in Msun/yr, velocities in km/s, :167-172; type codes
+    stellar_wind_BC.h:41-44)."""
+    from .winds import WindSource, load_evolution_file
+
+    n = int(params.get("WIND_NSRC", 0) or 0)
+    out = []
+    for i in range(n):
+        g = lambda k, d=0.0: float(params.get(f"WIND_{i}_{k}", d))
+        s = lambda k, d="": params.get(f"WIND_{i}_{k}", d)
+        pos_xyz = [g(f"pos{d}") for d in range(3)]
+        wtype = int(g("type", 0))
+        model = {0: "iso", 1: "iso", 2: "angle", 3: "latdep"}[wtype]
+        evo = None
+        evofile = s("evofile", "NONE")
+        if evofile not in ("", "NONE", "NOFILE"):
+            evo = load_evolution_file(evofile)
+        tracers = tuple(g(f"TR{k}") for k in range(cfg.ntracer))
+        out.append(WindSource(
+            position=_array_order(pos_xyz, cfg.ndim),
+            radius=g("radius"),
+            mdot=g("mdot") * MSUN / YEAR,
+            vinf=g("vinf") * KM,
+            t_wind=g("temp", 1.0e4),
+            rstar=g("Rstr", 7.0e10),
+            v_rot=g("vrot", g("Vrot", 0.0)) * KM,
+            b_star=g("Bsrf", 0.0),
+            tracers=tracers,
+            evolution=evo,
+            model=model,
+            xi=g("xi", -0.43),
+            orb_period=g("orbital_period", 0.0),
+            eccentricity_fac=g("ecentricity_fac", g("eccentricity_fac", 1.0))
+            or 1.0,
+            periastron=(g("periastron_vec_x"), g("periastron_vec_y")),
+        ))
+    return out
+
+
+def physics_from_params(cfg: SimConfig, params) -> Optional[object]:
+    """chem_code + RT_* + WIND_* -> a Physics bundle, or None for pure
+    dynamics (reference dispatch: setup_fixed_grid.cpp:270-410)."""
+    from .physics import Physics
+
+    sources = sources_from_params(cfg, params)
+    winds = winds_from_params(cfg, params)
+    chem = params.get("chem_code", "None")
+    if chem in ("None", "none", "NONE", ""):
+        if not winds:
+            return None
+        return Physics(wind_sources=winds)
+
+    slot = _tracer_slot(cfg, params)
+    ion = [s for s in sources if s.effect in ("mono", "mfion")]
+    n_diff = sum(1 for s in sources if s.effect == "uv_heating")
+    gf = lambda k, d: float(params.get(k, d))
+    common = dict(
+        tracer_slot=slot,
+        gamma=cfg.gamma,
+        helium_mass_frac=gf("EP_Helium_MassFrac", 0.2703),
+        metal_mass_frac=gf("EP_Metal_MassFrac", 0.0142),
+        min_temperature=gf("EP_Min_Temperature", 10.0) or 10.0,
+        max_temperature=gf("EP_Max_Temperature", 1.0e9),
+        ion_src=(ion[0].effect if ion else None),
+        n_idot=(ion[0].strength if ion else 0.0),
+        n_diff_srcs=n_diff,
+    )
+    if chem == "MPv3":
+        from .microphysics import MPv3, MPv3Config
+
+        mp = MPv3(MPv3Config(
+            **common,
+            tstar=gf("RT_Tstar____0", 0.0),
+            rstar_cm=gf("RT_Rstar____0", 0.0) * RSUN,
+        ))
+    elif chem == "MPv5":
+        from .microphysics import MPv5, MPv3Config
+
+        mp = MPv5(MPv3Config(
+            **common,
+            tstar=gf("RT_Tstar____0", 0.0),
+            rstar_cm=gf("RT_Rstar____0", 0.0) * RSUN,
+        ))
+    elif chem == "MPv6":
+        from .microphysics import MPv6, MPv3Config
+
+        mp = MPv6(MPv3Config(
+            **common,
+            tstar=gf("RT_Tstar____0", 0.0),
+            rstar_cm=gf("RT_Rstar____0", 0.0) * RSUN,
+        ))
+    elif chem == "MPv7":
+        from .microphysics.mpv7 import MPv7, MPv7Config
+
+        mp = MPv7(MPv7Config(
+            tracer_slot=slot,
+            ion_src=(ion[0].effect if ion else None),
+            n_idot=(ion[0].strength if ion else 0.0),
+            t_lo=gf("EP_Min_Temperature", 100.0) or 100.0,
+            t_hi=gf("MPv7_Thi", 1.0e4),
+        ))
+    elif chem == "MPv8":
+        from .microphysics.cooling import MPv8, MPv8Config
+
+        mp = MPv8(MPv8Config(tracer_slot=slot))
+    elif chem in ("mp_only_cooling", "MPonly", "only_cooling"):
+        from .microphysics.cooling import CoolingConfig, MPOnlyCooling
+
+        # EP_cooling int codes (reference: mp_only_cooling.cpp:42-48)
+        curve = {2: "KI02", 3: "KI02", 4: "SD93_CIE",
+                 5: "SD93_PLUS_HEATING", 6: "WSS09_CIE_PLUS_HEATING",
+                 7: "WSS09_CIE_ONLY_COOLING",
+                 8: "WSS09_CIE_LINE_HEAT_COOL"}.get(
+            int(gf("EP_cooling", 4)), "SD93_CIE")
+        mp = MPOnlyCooling(CoolingConfig(
+            gamma=cfg.gamma,
+            min_temperature=gf("EP_Min_Temperature", 10.0) or 10.0,
+            max_temperature=gf("EP_Max_Temperature", 1.0e9),
+            curve=curve,
+        ))
+    else:
+        raise ValueError(f"unknown chem_code {chem!r}")
+    return Physics(mp=mp, sources=sources, wind_sources=winds)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+def _outfile(params) -> str:
+    import os
+
+    path = params.get("OutputPath", "./")
+    name = params.get("OutputFile", "pion_tpu_run")
+    return os.path.join(path, name)
+
+
+def icgen_main(argv: List[str]) -> str:
+    """``icgen`` equivalent: param file -> IC snapshot
+    (reference: ics/icgen.cpp:83-257)."""
+    from .ics import add_noise
+    from .io import save_snapshot
+
+    params = apply_overrides(read_paramfile(argv[0]), argv[1:])
+    cfg = config_from_params(params)
+    P = build_ics(cfg, params)
+    noise = float(params.get("noise", -1) or -1)
+    if noise > 0.0:
+        P = add_noise(P, cfg, noise)
+    path = save_snapshot(_outfile(params) + ".00000000", P, cfg,
+                         float(params.get("StartTime", 0.0)), 0)
+    print(f"icgen: wrote {path}")
+    return path
+
+
+def run_main(argv: List[str]) -> "object":
+    """``pion`` equivalent: param file or restart snapshot -> run
+    (reference: main.cpp:62-158 with restart detect at :99-112)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from .sim import Simulation
+
+    target = argv[0]
+    overrides = argv[1:]
+    is_snapshot = any(target.endswith(s) for s in (".snap", ".npz")) or (
+        os.path.exists(target) and open(target, "rb").read(6) in
+        (b"PTSNAP", b"PK\x03\x04\x00\x00"))
+    if is_snapshot:
+        sim = Simulation.restart(target)
+        params = apply_overrides({}, overrides)
+        if params:
+            # allow finishtime/opfreq style overrides on restart
+            tmax = params.get("FinishTime") or params.get("finishtime")
+            if tmax:
+                sim.cfg = sim.cfg.with_(tmax=float(tmax))
+        sim.outfile = params.get("OutputFile", target.rsplit(".", 1)[0])
+        sim.opfreq = int(params.get("opfreq", 0) or 0)
+        sim.checkpoint_freq = int(params.get("checkpt_freq", 0) or 0)
+    else:
+        params = apply_overrides(read_paramfile(target), overrides)
+        cfg = config_from_params(params)
+        P = build_ics(cfg, params)
+        phys = physics_from_params(cfg, params)
+        sim = Simulation(cfg, jnp.asarray(P.astype(cfg.np_dtype)),
+                         t=float(params.get("StartTime", 0.0)),
+                         physics=phys,
+                         outfile=_outfile(params),
+                         opfreq=int(params.get("OutputFrequency", 0) or 0),
+                         checkpoint_freq=int(params.get("checkpt_freq", 0)
+                                             or 0))
+    max_steps = int(params.get("max_steps", 10**9) or 10**9)
+    sim.run(max_steps=max_steps)
+    print(f"run: finished at t={sim.t:.6e} after {sim.step_count} steps")
+    return sim
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2 or argv[0] not in ("icgen", "run"):
+        print(__doc__)
+        return 2
+    if argv[0] == "icgen":
+        icgen_main(argv[1:])
+    else:
+        run_main(argv[1:])
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -105,12 +105,12 @@ class BC(str, enum.Enum):
 K_B = 1.380649e-16        # Boltzmann constant [erg/K]
 M_P = 1.67262192369e-24   # proton mass [g]
 GAMMA_DEFAULT = 5.0 / 3.0
-MSUN = 1.98892e33         # solar mass [g]
+MSUN = 1.9891e33          # solar mass [g] (reference: constants.h:113)
 RSUN = 6.96e10            # solar radius [cm]
 LSUN = 3.839e33           # solar luminosity [erg/s]
 PARSEC = 3.0856775807e18  # parsec [cm]
 AU = 1.49597870700e13     # astronomical unit [cm]
-YEAR = 3.15576e7          # Julian year [s]
+YEAR = 3.1558150e7        # sidereal year [s] (reference: constants.h:107)
 EV = 1.602176634e-12      # electron-volt [erg]
 ETA_ION_EV = 13.59844     # H ionization potential [eV]
 

@@ -6,7 +6,7 @@ dispatch at icgen_base.cpp:36-130).
 """
 from .shocktube import brio_wu, shocktube, toro_tests  # noqa: F401
 from .blast import blast_wave  # noqa: F401
-from .advection import advection_pulse  # noqa: F401
+from .advection import advection_pulse, advect_sine_wave  # noqa: F401
 from .mhd2d import field_loop, orszag_tang  # noqa: F401
 from .problems import (  # noqa: F401
     add_noise,

@@ -32,3 +32,27 @@ def advection_pulse(
     for t in range(cfg.eqn.nbase, cfg.nvar):
         P[t] = (P[RO] > 2.0 * rho0).astype(float)
     return P
+
+
+def advect_sine_wave(
+    cfg: SimConfig,
+    rho0: float = 1.0,
+    amplitude: float = 0.1,
+    p0: float = 1.0,
+    v=(1.0, 0.0, 0.0),
+    nwave: int = 1,
+) -> np.ndarray:
+    """Smooth sine-wave density advection (reference: icgen
+    'AdvectSineWave', icgen_base.cpp:47) — the standard smooth-profile
+    convergence-order test: after one period the wave must return to its
+    starting phase with error ~ dx^OOA."""
+    x = cfg.cell_centers(cfg.ndim - 1)  # physical x = last array axis
+    L = cfg.xmax[0] - cfg.xmin[0]
+    wave = np.sin(2.0 * np.pi * nwave * (x - cfg.xmin[0]) / L)
+    shape = (1,) * (cfg.ndim - 1) + (-1,)
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    P[RO] = rho0 * (1.0 + amplitude * wave.reshape(shape))
+    P[PG] = p0
+    for k in range(3):
+        P[VX + k] = v[k]
+    return P

@@ -29,11 +29,13 @@ def orszag_tang(cfg: SimConfig) -> np.ndarray:
 
 
 def field_loop(cfg: SimConfig, A0: float = 1.0e-3, r0: float = 0.3,
-               v=(1.0, 0.5)) -> np.ndarray:
+               v=(1.0, 0.5), vz: float = 0.0) -> np.ndarray:
     """Weak magnetic field loop advected diagonally (Gardiner & Stone 2005).
 
     B = curl(A z_hat) with A = A0*(r0 - r) inside radius r0, so
     B = A0 * (-y/r, x/r) inside the loop; p and rho uniform.
+    ``v=(0,0)`` gives the reference's FieldLoopStatic, ``vz!=0`` its
+    FieldLoopVz out-of-plane advection variant (icgen_base.cpp:47-50).
     """
     assert cfg.ndim == 2 and cfg.eqn.is_mhd
     y = cfg.cell_centers(0)
@@ -50,6 +52,7 @@ def field_loop(cfg: SimConfig, A0: float = 1.0e-3, r0: float = 0.3,
     P[PG] = 1.0
     P[VX] = v[0]
     P[VY] = v[1]
+    P[VX + 2] = vz
     P[BX] = np.where(inside, -A0 * dy_ / rs, 0.0)
     P[BY] = np.where(inside, A0 * dx_ / rs, 0.0)
     return P

@@ -46,7 +46,7 @@ from .config import SimConfig
 from .constants import BX, BY, BZ, K_B, M_P, PG, RO, VX, VY, VZ, Coord, Eqn
 from .grid import Geometry
 
-YEAR = 3.15576e7
+from .constants import YEAR  # noqa: E402
 C_GAMMA = 0.35  # reference: stellar_wind_angle.cpp:59 c_gamma
 
 
@@ -171,6 +171,29 @@ class WindEvolution:
         if self.vcrit is not None:
             out["vcrit"] = jnp.interp(t, tt, jnp.asarray(self.vcrit))
         return out
+
+
+def load_evolution_file(path: str) -> "WindEvolution":
+    """Read a stellar-evolution table for an evolving wind source
+    (reference: stellar_wind_BC.cpp:1026-1095 read_evolution_file — skip
+    two header lines; CGS columns ``time M L Teff Mdot vrot vcrit vinf
+    [X_H X_He X_C X_N X_O X_Z X_D]``; R* from the Stefan-Boltzmann law)."""
+    SIGMA_SB = 5.670367e-5  # reference: constants.h:55
+    rows = []
+    with open(path) as f:
+        lines = f.readlines()[2:]
+    for line in lines:
+        parts = line.split()
+        if len(parts) >= 8:
+            rows.append([float(x) for x in parts[:8]])
+    if not rows:
+        raise ValueError(f"no data rows in evolution file {path}")
+    a = np.asarray(rows)
+    time, _mass, lumi, teff = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    mdot, vrot, vcrit, vinf = a[:, 4], a[:, 5], a[:, 6], a[:, 7]
+    rstar = np.sqrt(lumi / (4.0 * np.pi * SIGMA_SB * teff**4))
+    return WindEvolution(time=time, mdot=mdot, vinf=vinf, t_wind=teff,
+                         rstar=rstar, v_rot=vrot, vcrit=vcrit)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,126 @@
+"""CLI entry-point tests: the icgen / pion binaries equivalent
+(reference: ics/icgen.cpp:83-257, main.cpp:62-158)."""
+import numpy as np
+
+from pion_tpu.cli import (build_ics, icgen_main, physics_from_params,
+                          run_main, sources_from_params, winds_from_params)
+from pion_tpu.io import load_snapshot
+from pion_tpu.io.params import config_from_params, read_paramfile
+
+PARAMS = """\
+# tiny blast-wave run in the reference param dialect
+ndim 2
+coordinates cartesian
+eqn euler
+solver 8
+OrderOfAccSpace 2
+GAMMA 1.666666667
+CFL 0.3
+ArtificialViscosity 1
+EtaViscosity 0.1
+ics BlastWave
+OutputFile cli_blast
+OutputPath {path}/
+OutputFrequency 0
+StartTime 0.0
+FinishTime 0.02
+ntracer 0
+chem_code None
+noise -1
+NGridX 32
+NGridY 32
+NGridZ 1
+Xmin 0.0
+Ymin 0.0
+Zmin 0.0
+Xmax 1.0
+Ymax 1.0
+Zmax 0.0
+BC_XN outflow
+BC_XP outflow
+BC_YN outflow
+BC_YP outflow
+RT_Nsources 0
+WIND_NSRC 0
+"""
+
+
+def _write_params(tmp_path):
+    p = tmp_path / "params_blast.txt"
+    p.write_text(PARAMS.format(path=tmp_path))
+    return str(p)
+
+
+def test_icgen_and_run(tmp_path):
+    pf = _write_params(tmp_path)
+    snap = icgen_main([pf])
+    cfg, P, t, step = load_snapshot(snap)
+    assert cfg.shape == (32, 32) and t == 0.0 and step == 0
+    assert np.all(np.isfinite(P)) and P[1].max() > P[1].min()
+
+    # run from the param file (generates ICs itself)
+    sim = run_main([pf, "max_steps=5"])
+    assert sim.step_count == 5 and np.all(np.isfinite(np.asarray(sim.P)))
+
+    # restart mode from the icgen snapshot
+    sim2 = run_main([snap, "FinishTime=1.0e-3"])
+    assert sim2.t >= 1.0e-3 * (1 - 1e-9)
+
+
+def test_rt_wind_param_sections(tmp_path):
+    """RT_* and WIND_* sections parse into Source/WindSource with the
+    reference's unit conventions (Msun/yr, km/s)."""
+    from pion_tpu.constants import MSUN, YEAR
+
+    pf = "/root/reference/test_problems/RCW120/param_RCW120_WindHIIR.txt"
+    params = read_paramfile(pf)
+    cfg = config_from_params(params)
+    srcs = sources_from_params(cfg, params)
+    assert len(srcs) == 2
+    assert srcs[0].effect == "mfion" and srcs[0].strength == 2.40e38
+    assert srcs[1].effect == "uv_heating"
+    winds = winds_from_params(cfg, params)
+    assert len(winds) == 1
+    w = winds[0]
+    assert abs(w.mdot - 1.55e-7 * MSUN / YEAR) / w.mdot < 1e-12
+    assert w.vinf == 2000.0e5
+    assert w.radius == 1.2055e17
+    assert w.tracers[:2] == (0.9999999, 1.0)
+    phys = physics_from_params(cfg, params)
+    assert phys is not None and phys.mp is not None
+    assert phys.mp.name == "MPv5"
+    assert len(phys.wind_sources) == 1 and len(phys.sources) == 2
+
+
+def test_build_ics_menu_smoke():
+    """Every dispatchable ics name builds a finite state on a small grid."""
+    base = dict(PARAMS=None)
+    hydro2d = {"ndim": "2", "coordinates": "cartesian", "eqn": "euler",
+               "NGridX": "16", "NGridY": "16", "Xmin": "0.0", "Ymin": "0.0",
+               "Xmax": "1.0", "Ymax": "1.0", "BC_XN": "outflow",
+               "BC_XP": "outflow", "BC_YN": "outflow", "BC_YP": "outflow",
+               "ntracer": "1"}
+    mhd2d = dict(hydro2d, eqn="glm")
+    cases = [
+        ("Advection", hydro2d), ("AdvectSineWave", hydro2d),
+        ("KelvinHelmholz", hydro2d), ("LiskaWendroffImplosion", hydro2d),
+        ("DoubleMachRef", hydro2d), ("BlastWave", hydro2d),
+        ("ShockCloud", hydro2d), ("Clump_Spherical", hydro2d),
+        ("PhotEvap_RandomClumps", hydro2d),
+        ("PhotoEvap_radial", hydro2d), ("PhotoEvap_powerlaw", hydro2d),
+        ("Uniform", hydro2d),
+        ("OrszagTang", mhd2d), ("FieldLoop", mhd2d),
+        ("FieldLoopVz", mhd2d), ("FieldLoopStatic", mhd2d),
+        ("StarBench_ContactDiscontinuity3", hydro2d),
+    ]
+    for name, over in cases:
+        params = dict(over)
+        params["ics"] = name
+        if name == "PhotoEvap_radial":
+            params["PEC_ambRO"] = "1.0"
+            params["PEC_ambPG"] = "1.0"
+        cfg = config_from_params(params)
+        P = build_ics(cfg, params)
+        assert P.shape == (cfg.nvar,) + cfg.shape, name
+        assert np.all(np.isfinite(P)), name
+        assert P[0].min() > 0.0, name

@@ -260,3 +260,21 @@ def test_clump_axisymmetric_with_field():
     sim.run()
     P = np.asarray(sim.P)
     assert np.all(np.isfinite(P)) and sim.t >= 0.02
+
+
+def test_advect_sine_wave_period():
+    """AdvectSineWave: after one full period the profile returns to its
+    initial phase (smooth-profile accuracy test, icgen_base.cpp:47)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pion_tpu import SimConfig, Simulation
+    from pion_tpu.ics import advect_sine_wave
+
+    cfg = SimConfig(ndim=1, eqn="euler", solver="hll", shape=(128,),
+                    xmin=(0.0,), xmax=(1.0,), bcs=(("periodic", "periodic"),),
+                    cfl=0.4, ooa=2, tmax=1.0)
+    P0 = advect_sine_wave(cfg, v=(1.0, 0.0, 0.0))
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()  # one period at v=1 over unit box
+    err = np.abs(np.asarray(sim.P)[0] - P0[0]).mean()
+    assert err < 5.0e-4, err

@@ -193,7 +193,7 @@ def test_orbiting_source_moves_and_returns():
     phys = Physics(wind_sources=[src])
     sim = Simulation(cfg, jnp.asarray(P0), physics=phys)
     w = sim.physics.winds[0]
-    YEAR = 3.15576e7
+    from pion_tpu.constants import YEAR
     p0 = np.asarray([float(x) for x in w.position_at(0.0)])
     ph = np.asarray([float(x) for x in w.position_at(0.5 * period_yr * YEAR)])
     p1 = np.asarray([float(x) for x in w.position_at(period_yr * YEAR)])
