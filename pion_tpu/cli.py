@@ -340,6 +340,29 @@ def physics_from_params(cfg: SimConfig, params) -> Optional[object]:
     return Physics(mp=mp, sources=sources, wind_sources=winds)
 
 
+def jet_from_params(cfg: SimConfig, params) -> Optional[tuple]:
+    """N_JET section -> (radius_cm, jet inflow state) for BoundaryData.jet
+    (reference: ics/jet.cpp:78-125 — JETradius in CELLS, JETdensity,
+    JETpressure, JETvelocity, JET_Bax/JET_Btor with the B/sqrt(4pi)
+    internal unit)."""
+    if int(params.get("N_JET", 0) or 0) < 1:
+        return None
+    from .ics.problems import jet_state
+
+    gp = lambda k, d: float(params.get(k, d))
+    state = jet_state(cfg, rho_jet=gp("JETdensity", 1.0),
+                      p_jet=gp("JETpressure", 1.0),
+                      v_jet=gp("JETvelocity", 1.0))
+    if cfg.eqn.is_mhd:
+        from .constants import BX
+
+        s4pi = np.sqrt(4.0 * np.pi)
+        state[BX] = gp("JET_Bax", 0.0) / s4pi
+        state[BX + 2] = gp("JET_Btor", 0.0) / s4pi  # toroidal = z in 2D
+    radius_cells = gp("JETradius", 1.0)
+    return (radius_cells * cfg.dx, state)
+
+
 # ---------------------------------------------------------------------------
 # Entry points
 # ---------------------------------------------------------------------------
@@ -400,13 +423,15 @@ def run_main(argv: List[str]) -> "object":
         cfg = config_from_params(params)
         P = build_ics(cfg, params)
         phys = physics_from_params(cfg, params)
+        jet = jet_from_params(cfg, params)
         sim = Simulation(cfg, jnp.asarray(P.astype(cfg.np_dtype)),
                          t=float(params.get("StartTime", 0.0)),
                          physics=phys,
                          outfile=_outfile(params),
                          opfreq=int(params.get("OutputFrequency", 0) or 0),
                          checkpoint_freq=int(params.get("checkpt_freq", 0)
-                                             or 0))
+                                             or 0),
+                         jet=jet)
     max_steps = int(params.get("max_steps", 10**9) or 10**9)
     sim.run(max_steps=max_steps)
     print(f"run: finished at t={sim.t:.6e} after {sim.step_count} steps")

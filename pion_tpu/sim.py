@@ -35,10 +35,16 @@ class Simulation:
     opfreq: int = 0              # snapshot every N steps (0 = only final)
     checkpoint_freq: int = 0     # rolling checkpoint every N steps
     physics: Optional[object] = None   # pion_tpu.physics.Physics
+    # (radius_cm, state_vector) for a BC.JET face
+    # (reference: JP.jetradius/jetstate, sim_params.h:336-337)
+    jet: Optional[tuple] = None
 
     def __post_init__(self):
         self.geom: Geometry = make_geometry(self.cfg)
         self.bdata: BoundaryData = make_fixed_strips(np.asarray(self.P), self.cfg)
+        if self.jet is not None:
+            self.bdata = dataclasses.replace(
+                self.bdata, jet=(float(self.jet[0]), np.asarray(self.jet[1])))
         if self.physics is not None:
             self.physics.setup(self.cfg, self.geom)
             # carve wind regions into the initial state (reference:

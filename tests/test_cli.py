@@ -124,3 +124,34 @@ def test_build_ics_menu_smoke():
         assert P.shape == (cfg.nvar,) + cfg.shape, name
         assert np.all(np.isfinite(P)), name
         assert P[0].min() > 0.0, name
+
+
+def test_jet_param_run(tmp_path):
+    """N_JET section: a jet inflow boundary drives material into the box."""
+    import jax.numpy as jnp
+
+    params = {
+        "ndim": "2", "coordinates": "cartesian", "eqn": "euler",
+        "solver": "8", "GAMMA": "1.666666667", "CFL": "0.3",
+        "ics": "Jet", "JETambRO": "1.0", "JETambPG": "1.0",
+        "NGridX": "32", "NGridY": "16",
+        "Xmin": "0.0", "Ymin": "0.0", "Xmax": "2.0", "Ymax": "1.0",
+        "BC_XN": "jet", "BC_XP": "outflow",
+        "BC_YN": "reflecting", "BC_YP": "outflow",
+        "N_JET": "1", "JETradius": "3",
+        "JETdensity": "0.1", "JETpressure": "1.0", "JETvelocity": "10.0",
+        "ntracer": "0", "FinishTime": "1.0",
+    }
+    from pion_tpu.cli import build_ics, jet_from_params
+    from pion_tpu import Simulation
+
+    cfg = config_from_params(params)
+    P0 = build_ics(cfg, params)
+    jet = jet_from_params(cfg, params)
+    assert jet is not None and jet[0] == 3 * cfg.dx
+    sim = Simulation(cfg, jnp.asarray(P0), jet=jet)
+    sim.run(max_steps=40)
+    P = np.asarray(sim.P)
+    assert np.all(np.isfinite(P))
+    # jet material (fast) has entered near the y=0 symmetry axis
+    assert P[2, :4, :4].max() > 1.0, "jet did not inflow"
