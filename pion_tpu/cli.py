@@ -428,7 +428,13 @@ def run_main(argv: List[str]) -> "object":
                          t=float(params.get("StartTime", 0.0)),
                          physics=phys,
                          outfile=_outfile(params),
-                         opfreq=int(params.get("OutputFrequency", 0) or 0),
+                         opfreq=(int(params.get("OutputFrequency", 0) or 0)
+                                 if int(params.get("OutputCriterion", 0)
+                                        or 0) == 0 else 0),
+                         opfreq_time=(float(params.get("OPfreqTime", 0.0)
+                                            or 0.0)
+                                      if int(params.get("OutputCriterion", 0)
+                                             or 0) == 1 else 0.0),
                          checkpoint_freq=int(params.get("checkpt_freq", 0)
                                              or 0),
                          jet=jet)

@@ -33,6 +33,8 @@ class Simulation:
     # :681-700 rolling checkpoints alternating two files)
     outfile: Optional[str] = None
     opfreq: int = 0              # snapshot every N steps (0 = only final)
+    opfreq_time: float = 0.0     # snapshot every dt_sim (OutputCriterion 1,
+    #                              reference: sim_init.cpp:695-760 OPfreqTime)
     checkpoint_freq: int = 0     # rolling checkpoint every N steps
     physics: Optional[object] = None   # pion_tpu.physics.Physics
     # (radius_cm, state_vector) for a BC.JET face
@@ -55,6 +57,7 @@ class Simulation:
                                  physics=self.physics)
         self._ckpt_flip = 0
         self._writer = None  # lazy AsyncSnapshotWriter
+        self._next_optime = self.t + self.opfreq_time
 
     @classmethod
     def restart(cls, path: str, **kw) -> "Simulation":
@@ -95,6 +98,10 @@ class Simulation:
         if self.outfile is None:
             return
         if self.opfreq and self.step_count % self.opfreq == 0:
+            self.save(wait=False)
+        if self.opfreq_time > 0.0 and self.t >= self._next_optime:
+            while self._next_optime <= self.t:
+                self._next_optime += self.opfreq_time
             self.save(wait=False)
         if self.checkpoint_freq and self.step_count % self.checkpoint_freq == 0:
             # alternate two files like the reference's .999999/.999998

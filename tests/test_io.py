@@ -139,3 +139,22 @@ def test_async_writer_restartable(tmp_path):
     sim_c.run()
     res = compare_states(np.asarray(sim_a.P), np.asarray(sim_c.P))
     assert res["all_max"] < 1e-12, res
+
+
+def test_time_based_output_cadence(tmp_path):
+    """OutputCriterion=1 / OPfreqTime: snapshots at fixed simulation-time
+    intervals (reference: sim_init.cpp:695-760)."""
+    cfg, P0 = make(tmax=0.05)
+    sim = Simulation(cfg, jnp.asarray(P0), outfile=str(tmp_path / "run"),
+                     opfreq_time=0.01)
+    sim.run()
+    snaps = sorted(f.name for f in tmp_path.iterdir()
+                   if ".99999" not in f.name)
+    # ~5 time-interval snapshots + the final save
+    assert len(snaps) >= 4, snaps
+    # each snapshot restarts to a time >= its interval boundary
+    t_prev = -1.0
+    for s in snaps[:-1]:
+        _, _, t, _ = load_snapshot(str(tmp_path / s))
+        assert t > t_prev
+        t_prev = t
