@@ -11,10 +11,19 @@ implies ~0.7-2e6 including raytracing+chemistry, consistent with this).
 of the reference.
 """
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# persistent compilation cache: the fused HLLD kernels take minutes to
+# compile cold; cache hits make repeat runs start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 
 def main():
