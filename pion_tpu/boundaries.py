@@ -105,27 +105,32 @@ def _pad_axis(P, cfg: SimConfig, axis: int, bdata: BoundaryData, t=0.0):
     ax = 1 + axis  # array axis (variable index leads)
     k = cfg.ndim - 1 - axis
 
-    def take(idx):
-        return jnp.take(P, jnp.asarray(idx), axis=ax)
-
     n = P.shape[ax]
+
+    def slab(lo, hi):
+        # contiguous slice along ``ax`` — unlike jnp.take with an index
+        # array this lowers to a plain slice, not a gather (a full-grid
+        # gather costs ~4x a copy on TPU)
+        idx = [slice(None)] * P.ndim
+        idx[ax] = slice(lo, hi)
+        return P[tuple(idx)]
 
     def mirror(side: int, kind: BC):
         sg = jnp.asarray(_mirror_signs(cfg, axis, kind)).reshape(
             (-1,) + (1,) * cfg.ndim)
-        strip = (
-            take(range(ng - 1, -1, -1)) if side == 0
-            else take(range(n - 1, n - ng - 1, -1))
-        )
+        strip = jnp.flip(
+            slab(0, ng) if side == 0 else slab(n - ng, n), axis=ax)
         return strip * sg
 
     def ghost(side: int, kind: BC):
         # side: 0 = low face, 1 = high face; returns ng-layer strip ordered
         # outermost..innermost for lo, innermost..outermost for hi.
         if kind is BC.PERIODIC:
-            return take(range(n - ng, n)) if side == 0 else take(range(0, ng))
+            return slab(n - ng, n) if side == 0 else slab(0, ng)
         if kind in (BC.OUTFLOW, BC.ONEWAY_OUT):
-            edge = take([0] * ng) if side == 0 else take([n - 1] * ng)
+            edge = slab(0, 1) if side == 0 else slab(n - 1, n)
+            edge = jnp.broadcast_to(
+                edge, edge.shape[:ax] + (ng,) + edge.shape[ax + 1:])
             if kind is BC.ONEWAY_OUT:
                 # clip inflow normal velocity to zero
                 # (reference: oneway_out_boundaries.cpp:38-100)
@@ -231,7 +236,13 @@ def apply_bcs_outflow_only(P, cfg: SimConfig):
     for axis in range(cfg.ndim):
         ax = 1 + axis
         n = out.shape[ax]
-        lo = jnp.take(out, jnp.asarray([0] * ng), axis=ax)
-        hi = jnp.take(out, jnp.asarray([n - 1] * ng), axis=ax)
+        idx_lo = [slice(None)] * out.ndim
+        idx_lo[ax] = slice(0, 1)
+        idx_hi = [slice(None)] * out.ndim
+        idx_hi[ax] = slice(n - 1, n)
+        lo = out[tuple(idx_lo)]
+        hi = out[tuple(idx_hi)]
+        lo = jnp.broadcast_to(lo, lo.shape[:ax] + (ng,) + lo.shape[ax + 1:])
+        hi = jnp.broadcast_to(hi, hi.shape[:ax] + (ng,) + hi.shape[ax + 1:])
         out = jnp.concatenate([lo, out, hi], axis=ax)
     return out
