@@ -229,6 +229,58 @@ def make_fixed_strips(P0, cfg: SimConfig) -> BoundaryData:
     return BoundaryData(fixed=fixed)
 
 
+def fill_ghost_side(padded, cfg: SimConfig, axis: int, side: int,
+                    strip=None, t: float = 0.0):
+    """Overwrite the ``ng`` ghost layers on ONE face of an already fully
+    padded array with that face's domain BC, reading the adjacent interior
+    layers.  Used by the nested-grid driver for fine-level faces that
+    coincide with the root domain boundary (reference: setup_NG_grid
+    assigns the simulation BC there, other faces get COARSE_TO_FINE —
+    grid/setup_NG_grid.cpp:205-260).
+
+    ``strip`` supplies the frozen ghost state for INFLOW/FIXED faces
+    (full padded transverse shape).
+    """
+    ng = cfg.ng
+    ax = 1 + axis
+    kind = cfg.bcs[axis][side]
+    k = cfg.ndim - 1 - axis
+    n_tot = padded.shape[ax]
+
+    def slab(lo, hi):
+        idx = [slice(None)] * padded.ndim
+        idx[ax] = slice(lo, hi)
+        return padded[tuple(idx)]
+
+    if kind in (BC.REFLECTING, BC.JETREFLECT, BC.AXISYMMETRIC):
+        sg = jnp.asarray(_mirror_signs(cfg, axis, kind)).reshape(
+            (-1,) + (1,) * cfg.ndim)
+        src = slab(ng, 2 * ng) if side == 0 else slab(n_tot - 2 * ng,
+                                                      n_tot - ng)
+        val = jnp.flip(src, axis=ax) * sg
+    elif kind in (BC.OUTFLOW, BC.ONEWAY_OUT):
+        edge = slab(ng, ng + 1) if side == 0 else slab(n_tot - ng - 1,
+                                                       n_tot - ng)
+        val = jnp.broadcast_to(
+            edge, edge.shape[:ax] + (ng,) + edge.shape[ax + 1:])
+        if kind is BC.ONEWAY_OUT:
+            vslot = VX + k
+            vn = val[vslot]
+            vn = jnp.minimum(vn, 0.0) if side == 0 else jnp.maximum(vn, 0.0)
+            val = val.at[vslot].set(vn)
+    elif kind in (BC.INFLOW, BC.FIXED):
+        if strip is None:
+            raise ValueError(f"{kind} on a refined level needs a frozen "
+                             "ghost strip (captured at hierarchy setup)")
+        val = jnp.asarray(strip)
+    else:
+        raise NotImplementedError(
+            f"BC {kind} unsupported on a refined-level domain face")
+    tgt = [slice(None)] * padded.ndim
+    tgt[ax] = slice(0, ng) if side == 0 else slice(n_tot - ng, n_tot)
+    return padded.at[tuple(tgt)].set(val)
+
+
 def apply_bcs_outflow_only(P, cfg: SimConfig):
     """Pad every face with outflow ghosts (helper for strip capture)."""
     out = jnp.asarray(P)

@@ -56,6 +56,26 @@ def _ambient_from_params(cfg, params, prefix="PEC_amb"):
     return state
 
 
+def cfg_ics_overrides(cfg: SimConfig, params: Dict[str, str]) -> SimConfig:
+    """Config overrides forced by the IC generator itself — predefined
+    shock-tube tests pin gamma and the finish time (reference:
+    get_riemann_ics sets SimPM->gamma/finishtime, shock_tube.cpp:483-485)."""
+    if params.get("ics") == "ShockTube":
+        n = int(params.get("STnumber", 1))
+        if n > 0:
+            from .ics.shocktube import test_meta
+
+            gam, tf = test_meta(n)
+            kw = {}
+            if gam is not None:
+                kw["gamma"] = gam
+            if tf is not None:
+                kw["tmax"] = tf
+            if kw:
+                cfg = cfg.with_(**kw)
+    return cfg
+
+
 def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
     """Generate the initial primitive state for the ``ics`` named problem."""
     from . import ics as gen
@@ -64,10 +84,34 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
     gp = lambda k, d: type(d)(params.get(k, d))
 
     if name == "ShockTube":
+        from .ics import shocktube as st
+
         n = int(params.get("STnumber", 1))
-        if cfg.eqn.is_mhd:
-            return gen.brio_wu(cfg)
-        return gen.toro_tests(cfg, n)
+        ang = float(int(params.get("STangleXY", 0))) * np.pi / 180.0
+        if ang < 0.0:
+            ang = np.arctan(0.5)  # reference: shock_tube.cpp:130
+        if n > 0:
+            return st.predefined_test(cfg, n, angle_xy=ang)
+        # user-specified states: STpostvec* = left, STprevec* = right
+        # (reference: get_riemann_ics(number, postshock, preshock, ..))
+        def vec(prefix):
+            out = np.zeros(cfg.nvar)
+            for nm, slot in (("RO", RO), ("PG", PG), ("VX", VX),
+                             ("VY", VX + 1), ("VZ", VX + 2)):
+                out[slot] = float(params.get(prefix + nm, 0.0))
+            if cfg.eqn.is_mhd:
+                from .constants import BX
+
+                for k, c in enumerate("XYZ"):
+                    out[BX + k] = float(params.get(prefix + "B" + c, 0.0))
+            for i in range(cfg.ntracer):
+                out[cfg.eqn.nbase + i] = float(
+                    params.get(f"{prefix}TR{i}", 0.0))
+            return out
+
+        x0 = float(params.get("STshockpos", 0.0))
+        return st.shocktube(cfg, vec("STpostvec"), vec("STprevec"), x0,
+                            angle_xy=ang)
     if name == "Uniform":
         from .ics.problems import uniform
 
@@ -382,7 +426,7 @@ def icgen_main(argv: List[str]) -> str:
     from .io import save_snapshot
 
     params = apply_overrides(read_paramfile(argv[0]), argv[1:])
-    cfg = config_from_params(params)
+    cfg = cfg_ics_overrides(config_from_params(params), params)
     P = build_ics(cfg, params)
     noise = float(params.get("noise", -1) or -1)
     if noise > 0.0:
@@ -420,7 +464,7 @@ def run_main(argv: List[str]) -> "object":
         sim.checkpoint_freq = int(params.get("checkpt_freq", 0) or 0)
     else:
         params = apply_overrides(read_paramfile(target), overrides)
-        cfg = config_from_params(params)
+        cfg = cfg_ics_overrides(config_from_params(params), params)
         P = build_ics(cfg, params)
         phys = physics_from_params(cfg, params)
         jet = jet_from_params(cfg, params)

@@ -76,6 +76,13 @@ class SimConfig:
     min_timestep: float = 1.0e-30
     max_dt_growth: float = 1.3        # reference: calc_timestep.cpp:239
 
+    # Nested-grid hierarchy (reference: sim_params.h:232-238 grid_nlevels /
+    # NG_centre; level extents per setup_NG_grid.cpp:88-160).  ``ng_centre``
+    # is the refinement centre in ARRAY axis order; levels above 0 carry
+    # nlevels=1 (the hierarchy object owns the stack).
+    nlevels: int = 1
+    ng_centre: Optional[Tuple[float, ...]] = None
+
     def __post_init__(self):
         # Coerce string shorthands to enums (str-valued enums compare equal
         # but identity checks need the real members).
@@ -100,6 +107,18 @@ class SimConfig:
             assert self.ndim == 2, "axisymmetric cylindrical grid is 2D (R,z)"
         if self.coords is Coord.SPHERICAL:
             assert self.ndim == 1, "spherical grid is 1D (r)"
+        assert self.nlevels >= 1
+        if self.ng_centre is not None:
+            object.__setattr__(
+                self, "ng_centre",
+                tuple(float(v) for v in self.ng_centre))
+            assert len(self.ng_centre) == self.ndim
+        elif self.nlevels > 1:
+            # default: domain centre (co-centred nesting)
+            object.__setattr__(
+                self, "ng_centre",
+                tuple(0.5 * (lo + hi)
+                      for lo, hi in zip(self.xmin, self.xmax)))
 
     # -- derived quantities ------------------------------------------------
     @property

@@ -42,6 +42,8 @@ def _cfg_from_json(s: str) -> SimConfig:
     d["bcs"] = tuple(tuple(x) for x in d["bcs"])
     for k in ("shape", "xmin", "xmax"):
         d[k] = tuple(d[k])
+    if d.get("ng_centre") is not None:
+        d["ng_centre"] = tuple(d["ng_centre"])
     return SimConfig(**d)
 
 
@@ -65,6 +67,14 @@ def save_snapshot(path: str, P, cfg: SimConfig, t: float, step: int = 0,
     if extra:
         header["extra"] = extra
     P = np.asarray(P)
+    expect = (cfg.nvar,) + cfg.shape
+    if cfg.nlevels > 1:
+        expect = (cfg.nlevels,) + expect
+    if P.shape != expect:
+        raise ValueError(
+            f"snapshot state shape {P.shape} does not match the config "
+            f"(nvar={cfg.nvar}, shape={cfg.shape}, nlevels={cfg.nlevels}; "
+            f"expected {expect}) — the IC generator and SimConfig disagree")
 
     from .. import native
 

@@ -42,6 +42,11 @@ class Simulation:
     jet: Optional[tuple] = None
 
     def __post_init__(self):
+        expect = (self.cfg.nvar,) + self.cfg.shape
+        if tuple(self.P.shape) != expect:
+            raise ValueError(
+                f"state shape {tuple(self.P.shape)} != {expect} expected "
+                f"from the config (nvar, *shape)")
         self.geom: Geometry = make_geometry(self.cfg)
         self.bdata: BoundaryData = make_fixed_strips(np.asarray(self.P), self.cfg)
         if self.jet is not None:

@@ -173,3 +173,79 @@ def test_brio_wu_roe_mhd():
     sim2.run()
     l1 = np.mean(np.abs(out[RO] - np.asarray(sim2.P[RO])))
     assert l1 < 0.02, f"Roe vs HLLD L1 {l1}"
+
+
+def test_2d_extruded_sod_matches_1d():
+    """2D ShockTube with angle 0 is a pure extrusion: with the same dt
+    sequence every row evolves exactly like the 1D run (the transverse
+    sweep sees uniform data and cancels; reference: shock_tube.cpp:338-365)."""
+    from pion_tpu.ics.shocktube import shocktube
+
+    n = 128
+    L = [1.0, 1.0, 0.75, 0.0, 0.0]
+    R = [0.125, 0.1, 0.0, 0.0, 0.0]
+    cfg1 = sod_cfg(n=n, tmax=0.05)
+    # sharp 1D IC (the generator smooths 1D per the reference; build the
+    # sharp version by slicing one row of a 2D extrusion)
+    cfg2 = SimConfig(
+        ndim=2, eqn=Eqn.EULER, solver=Solver.HLL, gamma=1.4,
+        shape=(8, n), xmin=(0.0, 0.0), xmax=(8.0 / n, 1.0),
+        bcs=(("periodic", "periodic"), ("outflow", "outflow")),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=0.05,
+    )
+    P2 = shocktube(cfg2, L, R, 0.3)
+    assert P2.shape == (cfg2.nvar,) + cfg2.shape
+    P1 = P2[:, 0, :].copy()
+
+    sim1 = Simulation(cfg1, jnp.asarray(P1))
+    sim2 = Simulation(cfg2, jnp.asarray(P2))
+    dt = 0.8 * sim1.compute_dt()
+    for _ in range(40):
+        sim1.P = sim1.fns.advance(sim1.P, dt, sim1.t)
+        sim2.P = sim2.fns.advance(sim2.P, dt, sim2.t)
+    out2 = np.asarray(sim2.P)
+    for row in range(8):
+        np.testing.assert_allclose(out2[:, row, :], np.asarray(sim1.P),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_rotated_shocktube_ics():
+    """STangleXY rotates the state vectors and tilts the interface
+    (reference: shock_tube.cpp:342-365)."""
+    from pion_tpu.constants import VY
+    from pion_tpu.ics.shocktube import shocktube
+
+    cfg = SimConfig(
+        ndim=2, eqn=Eqn.EULER, gamma=1.4, shape=(64, 64),
+        xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+        bcs=(("outflow", "outflow"),) * 2,
+    )
+    L = np.zeros(cfg.nvar); L[RO], L[PG], L[VX] = 1.0, 1.0, 1.0
+    R = np.zeros(cfg.nvar); R[RO], R[PG] = 0.125, 0.1
+    th = np.deg2rad(30.0)
+    P = shocktube(cfg, L, R, 0.5, angle_xy=th)
+    # left-state velocity rotated into (cos, sin)
+    msk = P[RO] == 1.0
+    np.testing.assert_allclose(P[VX][msk], np.cos(th), rtol=1e-12)
+    np.testing.assert_allclose(P[VY][msk], np.sin(th), rtol=1e-12)
+    # interface is oblique: crossing position shifts with y by tan(theta)
+    x = cfg.cell_centers(1)
+    rows = [8, 48]
+    xc = [x[np.argmax(P[RO, r] < 0.5)] for r in rows]
+    y = cfg.cell_centers(0)
+    expect_shift = -(y[rows[1]] - y[rows[0]]) * np.tan(th)
+    assert abs((xc[1] - xc[0]) - expect_shift) < 2.5 * cfg.dx
+
+
+def test_snapshot_shape_validation(tmp_path):
+    """save_snapshot rejects a state whose shape contradicts the config
+    (the round-2 end-to-end breakage class)."""
+    from pion_tpu.io import save_snapshot
+
+    cfg = SimConfig(ndim=2, shape=(16, 16), xmin=(0, 0), xmax=(1, 1),
+                    bcs=(("outflow", "outflow"),) * 2)
+    bad = np.zeros((cfg.nvar, 16))  # 1D array for a 2D config
+    with pytest.raises(ValueError, match="does not match"):
+        save_snapshot(str(tmp_path / "x"), bad, cfg, 0.0)
+    with pytest.raises(ValueError, match="state shape"):
+        Simulation(cfg, jnp.asarray(bad))
