@@ -162,6 +162,13 @@ class AsyncSnapshotWriter:
 
 
 def load_snapshot(path: str) -> Tuple[SimConfig, np.ndarray, float, int]:
+    """Back-compat loader: (cfg, P, t, step)."""
+    cfg, P, t, step, _extra = load_snapshot_raw(path)
+    return cfg, P, t, step
+
+
+def load_snapshot_raw(
+        path: str) -> Tuple[SimConfig, np.ndarray, float, int, Optional[dict]]:
     for suffix in ("", ".snap", ".npz"):
         if os.path.exists(path + suffix):
             path = path + suffix
@@ -188,4 +195,4 @@ def load_snapshot(path: str) -> Tuple[SimConfig, np.ndarray, float, int]:
             header = json.loads(bytes(z["header"]).decode())
             P = z["P"]
     cfg = _cfg_from_json(header["config"])
-    return cfg, P, header["t"], header["step"]
+    return cfg, P, header["t"], header["step"], header.get("extra")

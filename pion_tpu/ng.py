@@ -1,36 +1,39 @@
 """Static nested-grid (NG) refinement with Berger-Colella flux correction.
 
 TPU-native re-derivation of the reference NG machinery
-(reference: source/sim_control/sim_control_NG.cpp:564-810 recursive
+(reference: source/grid/setup_NG_grid.cpp:88-160 level extents about
+NG_centre; source/sim_control/sim_control_NG.cpp:564-810 recursive
 advance_step_OA1/OA2; source/boundaries/NG_coarse_to_fine_boundaries.cpp
-slope-limited prolongation; NG_fine_to_coarse_boundaries.cpp:185-320
+slope-limited prolongation; NG_fine_to_coarse_boundaries.cpp:255-320
 volume-weighted conserved restriction; NG_BC89flux.cpp Berger & Colella
 1989 flux summation).
 
-Structure: a stack of co-centred levels, each 2x finer with the SAME cell
-count, advanced depth-first with two fine steps per coarse step.  Each level
-is a dense array + per-level geometry; C2F ghost filling is a static-index
-gather + limited-slope prolongation, F2C is a conservative 2^ndim average,
-and BC89 replaces the coarse flux at fine-boundary faces with the
-time-averaged sum of fine fluxes.  The level recursion is a host-side Python
-loop over per-level jitted update functions (the 2:1 ratio makes the
-schedule static — SURVEY.md §7).
-
-Round-1 scope: Cartesian co-centred levels (the common production layout,
-e.g. Ostar3D); curvilinear NG and per-level raytracing are TODO(parity).
+Structure: a stack of levels, each 2x finer with the SAME cell count,
+nested about ``ng_centre`` (snapped to i/4 of the domain per axis, like
+setup_NG_grid_levels), advanced depth-first with two fine steps per coarse
+step.  Each level is a dense array + per-level geometry; C2F ghost filling
+is a static-index gather + limited-slope prolongation, F2C is a
+volume-weighted conservative average (exact in cylindrical/spherical
+coords), and BC89 replaces the coarse flux at fine-boundary faces with the
+area-weighted time-averaged sum of fine fluxes.  Fine-level faces that
+coincide with the root domain boundary apply the domain BC instead of C2F
+(reference: setup_NG_grid.cpp:205-260).  The level recursion is traced
+into ONE jitted function (the 2:1 ratio makes the schedule static —
+SURVEY.md §7).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .boundaries import BoundaryData, apply_bcs, make_fixed_strips
+from .boundaries import (BoundaryData, apply_bcs, fill_ghost_side,
+                         make_fixed_strips)
 from .config import SimConfig
-from .constants import Eqn
+from .constants import BC, Coord, Eqn
 from .grid import Geometry, make_geometry
 from .ops.eqns import cons_to_prim, prim_to_cons
 from .ops.recon import van_albada
@@ -39,32 +42,90 @@ from .ops.timestep import dynamics_dt
 from .stepper import cell_advance, glm_psi_damp
 
 
-def make_level_cfg(cfg0: SimConfig, level: int) -> SimConfig:
-    """Level-l config: same shape, domain shrunk 2^l about the grid center
-    (reference: sim_params.h:173-190 'class level' extents)."""
-    if level == 0:
-        return cfg0
-    center = [0.5 * (lo + hi) for lo, hi in zip(cfg0.xmin, cfg0.xmax)]
-    half = [(hi - lo) / 2.0 ** (level + 1)
-            for lo, hi in zip(cfg0.xmin, cfg0.xmax)]
-    xmin = tuple(c - h for c, h in zip(center, half))
-    xmax = tuple(c + h for c, h in zip(center, half))
-    # interior faces are filled from the parent (C2F); reuse the domain BC
-    # types but they are overridden by prolongation in _pad_level
-    return cfg0.with_(xmin=xmin, xmax=xmax)
+def snap_ng_centre(cfg0: SimConfig) -> Tuple[float, ...]:
+    """Snap the refinement centre to xmin + i/4 of the domain per axis so
+    the oct-tree structure aligns with cell faces (reference:
+    setup_NG_grid.cpp:93-112)."""
+    out = []
+    for ax in range(cfg0.ndim):
+        lo, hi = cfg0.xmin[ax], cfg0.xmax[ax]
+        rng = hi - lo
+        c = cfg0.ng_centre[ax] if cfg0.ng_centre is not None else 0.5 * (lo + hi)
+        f = 4.0 * (c - lo) / rng
+        fr = f - np.floor(f)
+        if not np.isclose(fr, 0.0, atol=1e-8) and not np.isclose(fr, 1.0,
+                                                                 atol=1e-8):
+            c = lo + np.round(f) * rng / 4.0
+        out.append(float(np.clip(c, lo, hi)))
+    return tuple(out)
+
+
+def make_level_cfg(cfg0: SimConfig, level: int,
+                   centre: Optional[Tuple[float, ...]] = None) -> SimConfig:
+    """Level-l config: same cell counts, extents halved toward ``centre``
+    per the reference recursion Xmin_l = (Xmin_{l-1} + centre)/2
+    (reference: setup_NG_grid.cpp:142-155)."""
+    if centre is None:
+        centre = snap_ng_centre(cfg0)
+    xmin = list(cfg0.xmin)
+    xmax = list(cfg0.xmax)
+    for _ in range(level):
+        xmin = [0.5 * (lo + c) for lo, c in zip(xmin, centre)]
+        xmax = [0.5 * (hi + c) for hi, c in zip(xmax, centre)]
+    return cfg0.with_(xmin=tuple(xmin), xmax=tuple(xmax), nlevels=1,
+                      ng_centre=None)
+
+
+def _pairsum(a, axis):
+    """Sum adjacent pairs along ``axis`` (length n -> n//2)."""
+    a = jnp.moveaxis(a, axis, -1)
+    a = a.reshape(a.shape[:-1] + (a.shape[-1] // 2, 2)).sum(axis=-1)
+    return jnp.moveaxis(a, -1, axis)
 
 
 class NGHierarchy:
     """Holds per-level state and advances the stack recursively."""
 
-    def __init__(self, cfg0: SimConfig, n_levels: int,
+    def __init__(self, cfg0: SimConfig, n_levels: Optional[int] = None,
                  states: Optional[List[jnp.ndarray]] = None,
                  physics=None):
-        assert all(n % 4 == 0 for n in cfg0.shape), \
-            "NG co-centred nesting needs cell counts divisible by 4"
+        if n_levels is None:
+            n_levels = cfg0.nlevels
         self.n_levels = n_levels
-        self.cfgs = [make_level_cfg(cfg0, l) for l in range(n_levels)]
+        self.cfg0 = cfg0
+        self.centre = snap_ng_centre(cfg0)
+        self.cfgs = [make_level_cfg(cfg0, l, self.centre)
+                     for l in range(n_levels)]
         self.geoms = [make_geometry(c) for c in self.cfgs]
+
+        # per-level child window in PARENT cell indices: level l>=1 covers
+        # parent cells [offs[l][ax], offs[l][ax] + n//2) on each axis
+        self.offs: List[Optional[Tuple[int, ...]]] = [None]
+        # fine-level faces that coincide with the ROOT domain boundary get
+        # the domain BC; all others get C2F prolongation ghosts
+        self.dom_sides: List[List[Tuple[int, int]]] = [[]]
+        for l in range(1, n_levels):
+            cfg_c, cfg_f = self.cfgs[l - 1], self.cfgs[l]
+            offs = []
+            sides = []
+            for ax in range(cfg0.ndim):
+                n = cfg0.shape[ax]
+                off_f = (cfg_f.xmin[ax] - cfg_c.xmin[ax]) / cfg_c.dx
+                off = int(round(off_f))
+                assert abs(off_f - off) < 1e-6, (
+                    f"level {l} axis {ax}: refinement window not cell-"
+                    f"aligned (offset {off_f} parent cells; NG_centre must "
+                    f"sit at i/4 of the domain and N must divide by 8 for "
+                    f"odd i — reference setup_NG_grid.cpp:93-112)")
+                assert 0 <= off and off + n // 2 <= n and n % 2 == 0
+                offs.append(off)
+                if np.isclose(cfg_f.xmin[ax], cfg0.xmin[ax]):
+                    sides.append((ax, 0))
+                if np.isclose(cfg_f.xmax[ax], cfg0.xmax[ax]):
+                    sides.append((ax, 1))
+            self.offs.append(tuple(offs))
+            self.dom_sides.append(sides)
+
         self.physics = physics
         if physics is not None:
             # one Physics clone per level: same chemistry/sources, per-level
@@ -85,21 +146,54 @@ class NGHierarchy:
         else:
             self.phys = [None] * n_levels
         if states is not None:
-            self.P = list(states)
+            self.set_states(states)
         else:
             self.P = [None] * n_levels
-        self.bdata = None
+            self.bdata = None
         self.t = 0.0
         self.step_count = 0
         self.last_dt = 0.0
         self._jit_cache = {}
+        # output policy (mirrors Simulation; reference: sim_init.cpp:671-760)
+        self.outfile: Optional[str] = None
+        self.opfreq = 0
+        self.opfreq_time = 0.0
+        self.checkpoint_freq = 0
+        self.log_freq = 0
+        self.params: Optional[dict] = None
+        self._ckpt_flip = 0
+        self._writer = None
+        self._next_optime = None
 
     def set_states(self, states):
         self.P = list(states)
         self.bdata = make_fixed_strips(np.asarray(self.P[0]), self.cfgs[0])
+        # frozen INFLOW/FIXED ghost strips for fine-level domain faces
+        # (full padded transverse shape, captured from the initial state by
+        # edge replication — reference: BC_assign_INFLOW uses IC edge data)
+        self.level_strips: List[Dict[Tuple[int, int], np.ndarray]] = [{}]
+        for l in range(1, self.n_levels):
+            cfg = self.cfgs[l]
+            strips = {}
+            need = [(ax, sd) for (ax, sd) in self.dom_sides[l]
+                    if cfg.bcs[ax][sd] in (BC.INFLOW, BC.FIXED)]
+            if need:
+                from .boundaries import apply_bcs_outflow_only
+
+                pad = np.asarray(apply_bcs_outflow_only(
+                    jnp.asarray(self.P[l]), cfg))
+                ng = cfg.ng
+                for ax, sd in need:
+                    a = 1 + ax
+                    idx = [slice(None)] * pad.ndim
+                    idx[a] = slice(0, ng) if sd == 0 else slice(
+                        pad.shape[a] - ng, pad.shape[a])
+                    strips[(ax, sd)] = pad[tuple(idx)].copy()
+            self.level_strips.append(strips)
         for l in range(self.n_levels):
             if self.phys[l] is not None and self.phys[l].winds:
                 self.P[l] = self.phys[l].apply_internal_bcs(self.P[l], self.t)
+        self._jit_cache = {}
 
     # -- C2F prolongation --------------------------------------------------
     def _prolong_padded(self, Pc, level: int):
@@ -110,18 +204,18 @@ class NGHierarchy:
         cfg_f = self.cfgs[level]
         nd = cfg_f.ndim
         ng = cfg_f.ng
-        # parent index of each fine padded cell per axis: fine domain covers
-        # parent cells [n/4, 3n/4); fine cell i_f -> parent n/4 + i_f//2
+        off = self.offs[level]
+        # parent index of each fine padded cell per axis: fine cell i_f
+        # (counted from the child's xmin) sits in parent off + i_f//2
         idxs = []
         offs = []
         for ax in range(nd):
             n = cfg_f.shape[ax]
-            q = n // 4
             i_f = np.arange(-ng, n + ng)
-            ip = q + np.floor_divide(i_f, 2)
-            off = np.where(i_f % 2 == 0, -0.25, +0.25)  # units of parent dx
+            ip = off[ax] + np.floor_divide(i_f, 2)
+            o = np.where(i_f % 2 == 0, -0.25, +0.25)  # units of parent dx
             idxs.append(jnp.asarray(np.clip(ip, 0, n - 1)))
-            offs.append(jnp.asarray(off))
+            offs.append(jnp.asarray(o))
 
         # gather the parent values over all axes, then add limited-slope
         # offsets per axis (edge cells get one-sided zero slope via padding)
@@ -147,47 +241,102 @@ class NGHierarchy:
         return total
 
     def _pad_level(self, level: int, Ph, parent_state):
-        """Padded state for level: domain BCs at level 0, C2F ghosts from
-        the parent otherwise (interior cells keep the fine values)."""
+        """Padded state for level: domain BCs at level 0; C2F ghosts from
+        the parent otherwise, except on faces coinciding with the root
+        domain boundary, which apply the domain BC."""
         cfg = self.cfgs[level]
         if level == 0:
             return apply_bcs(Ph, cfg, self.bdata)
         padded = self._prolong_padded(parent_state, level)
         ng = cfg.ng
         sl = (slice(None),) + tuple(slice(ng, -ng) for _ in range(cfg.ndim))
-        return padded.at[sl].set(Ph)
+        padded = padded.at[sl].set(Ph)
+        for ax, sd in self.dom_sides[level]:
+            padded = fill_ghost_side(
+                padded, cfg, ax, sd,
+                strip=self.level_strips[level].get((ax, sd)))
+        return padded
 
     # -- F2C restriction ---------------------------------------------------
     def _restrict(self, Pc, Pf, level_f: int):
-        """Replace covered coarse cells with the conserved-variable average
-        of their 2^ndim children (reference:
-        NG_fine_to_coarse_boundaries.cpp:255-320 average_cells)."""
+        """Replace covered coarse cells with the VOLUME-WEIGHTED
+        conserved-variable average of their 2^ndim children (reference:
+        NG_fine_to_coarse_boundaries.cpp:255-320 average_cells —
+        sum(U*vol)/sum(vol); exact for cylindrical/spherical metrics)."""
         cfg_f = self.cfgs[level_f]
         cfg_c = self.cfgs[level_f - 1]
         nd = cfg_f.ndim
+        off = self.offs[level_f]
         Uf = prim_to_cons(Pf, cfg_f)
+        Vf = jnp.asarray(self.geoms[level_f].cell_volume)
+        W = Uf * Vf
+        V = jnp.broadcast_to(Vf, Uf.shape[1:])
         for ax in range(nd):
-            a = 1 + ax
-            n = Uf.shape[a]
-            u = jnp.moveaxis(Uf, a, -1)
-            u = u.reshape(u.shape[:-1] + (n // 2, 2)).mean(axis=-1)
-            Uf = jnp.moveaxis(u, -1, a)
+            W = _pairsum(W, 1 + ax)
+            V = _pairsum(V, ax)
+        Uc_win = W / V
         Uc = prim_to_cons(Pc, cfg_c)
         sl = (slice(None),) + tuple(
-            slice(cfg_c.shape[ax] // 4, 3 * cfg_c.shape[ax] // 4)
+            slice(off[ax], off[ax] + cfg_c.shape[ax] // 2)
             for ax in range(nd))
-        Uc = Uc.at[sl].set(Uf)
+        Uc = Uc.at[sl].set(Uc_win)
         return cons_to_prim(Uc, cfg_c)
 
     # -- BC89 flux correction ----------------------------------------------
+    def _face_weights(self, level: int, ax: int) -> Dict[int, np.ndarray]:
+        """Per-transverse-axis area weight vectors for faces normal to
+        ``ax`` (reference: face areas VectorOps.cpp:688-697).  Cartesian:
+        uniform.  Cylindrical z-faces: area per R-row proportional to
+        R_centre (pi*((R+)^2-(R-)^2) = 2 pi R dR)."""
+        cfg = self.cfgs[level]
+        out = {}
+        for bx in range(cfg.ndim):
+            if bx == ax:
+                continue
+            g = self.geoms[level].axes[bx]
+            if g.is_radial and cfg.coords is Coord.CYLINDRICAL:
+                ng = cfg.ng
+                out[bx] = np.asarray(
+                    g.pos[ng: ng + cfg.shape[bx]], dtype=cfg.np_dtype)
+            else:
+                out[bx] = np.ones(cfg.shape[bx], dtype=cfg.np_dtype)
+        return out
+
+    def _restrict_face_flux(self, Ff, ax, level_f: int):
+        """Area-weighted average of the fine boundary-plane flux onto
+        coarse faces: 2^(nd-1) fine faces per coarse face (reference:
+        NG_BC89flux.cpp recv_BC89_fluxes_F2C sums F*dA / sum dA)."""
+        cfg_f = self.cfgs[level_f]
+        nd = cfg_f.ndim
+        wv = self._face_weights(level_f, ax)
+        out = Ff
+        # Ff: (nvar, ...transverse...) with the sweep axis removed
+        k = 0
+        for bx in range(nd):
+            if bx == ax:
+                continue
+            a = 1 + k
+            w = jnp.asarray(wv[bx]).reshape(
+                (1,) * a + (-1,) + (1,) * (out.ndim - a - 1))
+            num = _pairsum(out * w, a)
+            den = _pairsum(jnp.broadcast_to(w, (1,) + out.shape[1:]), a)
+            out = num / den
+            k += 1
+        return out
+
     def _bc89_correct(self, dU, coarse_faces, fine_face_sums, level: int, dt):
         """Adjust the dU of coarse cells just outside the fine grid so the
         interface flux equals the time-averaged fine flux (Berger & Colella
-        1989; reference: NG_BC89flux.cpp recv_BC89_fluxes_F2C)."""
+        1989; reference: NG_BC89flux.cpp recv_BC89_fluxes_F2C).  Skipped on
+        faces where the child touches the domain boundary (no outside
+        cell)."""
         cfg = self.cfgs[level]
         nd = cfg.ndim
+        off_c = self.offs[level + 1]
         for ax in range(nd):
-            q = cfg.shape[ax] // 4
+            n = cfg.shape[ax]
+            lo_i = off_c[ax]               # coarse interface index, low side
+            hi_i = off_c[ax] + n // 2      # high side
             F = coarse_faces[ax]   # (nvar, *spatial) with n+1 along axis ax
             Ff_lo, Ff_hi = fine_face_sums[ax]   # restricted fine fluxes
             g = self.geoms[level].axes[ax]
@@ -195,46 +344,29 @@ class NGHierarchy:
             cp = jnp.asarray(g.div_cp)
 
             # full-rank index helper: transverse window covered by the fine
-            # grid ([n/4,3n/4) on every transverse axis), position i on ax
+            # grid, position i on the sweep axis
             def widx(i):
                 sl = [slice(None)]
                 for bx in range(nd):
                     if bx == ax:
                         sl.append(i)
                     else:
-                        sl.append(slice(cfg.shape[bx] // 4,
-                                        3 * cfg.shape[bx] // 4))
+                        sl.append(slice(off_c[bx],
+                                        off_c[bx] + cfg.shape[bx] // 2))
                 return tuple(sl)
 
-            # coarse interface q is the fine grid's low boundary; the coarse
-            # cell OUTSIDE is q-1 (this is its HIGH face, coefficient cp):
-            # dudt = cn*f_lo - cp*f_hi, so swapping the coarse flux for the
-            # fine one adds cp*(F_coarse - F_fine).  At the high boundary
-            # (interface 3q) the outside cell is 3q and its LOW face gets
-            # the opposite sign.
-            corr_lo = F[widx(q)] - Ff_lo
-            corr_hi = F[widx(3 * q)] - Ff_hi
-            dU = dU.at[widx(q - 1)].add(dt * cp[q - 1] * corr_lo)
-            dU = dU.at[widx(3 * q)].add(-dt * cn[3 * q] * corr_hi)
+            # the coarse cell OUTSIDE the low interface is lo_i-1 (its HIGH
+            # face, coefficient cp): dudt = cn*f_lo - cp*f_hi, so swapping
+            # the coarse flux for the fine one adds cp*(F_coarse - F_fine).
+            # At the high interface the outside cell is hi_i and its LOW
+            # face gets the opposite sign.
+            if lo_i > 0:
+                corr_lo = F[widx(lo_i)] - Ff_lo
+                dU = dU.at[widx(lo_i - 1)].add(dt * cp[lo_i - 1] * corr_lo)
+            if hi_i < n:
+                corr_hi = F[widx(hi_i)] - Ff_hi
+                dU = dU.at[widx(hi_i)].add(-dt * cn[hi_i] * corr_hi)
         return dU
-
-    def _restrict_face_flux(self, Ff, ax, cfg_f):
-        """Average the fine boundary-plane flux onto coarse faces: mean over
-        2^(nd-1) fine faces per coarse face (equal areas, Cartesian)."""
-        nd = cfg_f.ndim
-        out = Ff
-        # Ff: (nvar, ...transverse..., ) with sweep axis removed (one plane)
-        k = 0
-        for bx in range(nd):
-            if bx == ax:
-                continue
-            a = 1 + k
-            n = out.shape[a]
-            u = jnp.moveaxis(out, a, -1)
-            u = u.reshape(u.shape[:-1] + (n // 2, 2)).mean(axis=-1)
-            out = jnp.moveaxis(u, -1, a)
-            k += 1
-        return out
 
     # -- per-level radiation columns ----------------------------------------
     def _child_tau_offsets(self, level: int, Ph, tau_in):
@@ -243,7 +375,8 @@ class NGHierarchy:
         windowed to the child's transverse footprint and prolonged 2x
         (the TPU equivalent of the reference's C2F boundary Tau data,
         NG_coarse_to_fine_boundaries.cpp + cell extra_data columns).
-        Point sources need no offset: co-centred levels all contain them."""
+        Point sources need no offset: production configs keep them inside
+        every level."""
         phys = self.phys[level]
         if phys is None or not phys.sources:
             return None
@@ -253,38 +386,49 @@ class NGHierarchy:
         taus = phys.trace_taus(Ph, tau_in)
         cfg = self.cfgs[level]
         nd = cfg.ndim
+        off_c = self.offs[level + 1]
         out = {}
         for i in inf_idx:
             s = phys.sources[i]
             ax = s.axis
-            q = cfg.shape[ax] // 4
-            idx = q if s.sign > 0 else 3 * q - 1
+            idx = (off_c[ax] if s.sign > 0
+                   else off_c[ax] + cfg.shape[ax] // 2 - 1)
             plane = jnp.take(taus[i], idx, axis=ax)  # (transverse parent)
             # window to the child's footprint then prolong 2x per axis
             k = 0
             for bx in range(nd):
                 if bx == ax:
                     continue
-                qb = cfg.shape[bx] // 4
-                plane = jax.lax.slice_in_dim(plane, qb, 3 * qb, axis=k)
+                plane = jax.lax.slice_in_dim(
+                    plane, off_c[bx], off_c[bx] + cfg.shape[bx] // 2, axis=k)
                 plane = jnp.repeat(plane, 2, axis=k)
                 k += 1
             out[i] = jnp.expand_dims(plane, ax)  # broadcasts along the ray
         return out
 
     # -- time stepping -----------------------------------------------------
+    def _dt_fn(self):
+        """All-level dt as ONE jitted reduction -> single host sync
+        (reference policy: sim_control_NG.cpp:288-341 coarse dt = 2^l *
+        finest-limited dt; chemistry limit per calc_timestep.cpp:342)."""
+        if "dt" not in self._jit_cache:
+            def whole(states):
+                vals = []
+                for l in range(self.n_levels):
+                    d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l])
+                    phys = self.phys[l]
+                    if (phys is not None and phys.dt_limit
+                            and phys.mp is not None):
+                        d = jnp.minimum(
+                            d, phys.timescale(states[l], self.cfgs[l]))
+                    vals.append(d * (2 ** l))
+                return jnp.min(jnp.stack(vals))
+
+            self._jit_cache["dt"] = jax.jit(whole)
+        return self._jit_cache["dt"]
+
     def compute_dt(self) -> float:
-        """Coarse dt = 2^l * finest-level dt (reference:
-        sim_control_NG.cpp:288-341 per-level sync; chemistry limit as in
-        calc_timestep.cpp:342 calc_microphysics_dt)."""
-        dt0 = None
-        for l in range(self.n_levels):
-            d = float(dynamics_dt(self.P[l], self.cfgs[l], self.geoms[l]))
-            phys = self.phys[l]
-            if phys is not None and phys.dt_limit and phys.mp is not None:
-                d = min(d, float(phys.timescale(self.P[l], self.cfgs[l])))
-            d_scaled = d * (2 ** l)
-            dt0 = d_scaled if dt0 is None else min(dt0, d_scaled)
+        dt0 = float(self._dt_fn()(tuple(self.P)))
         if self.last_dt > 0.0:
             dt0 = min(dt0, self.cfgs[0].max_dt_growth * self.last_dt)
         return dt0
@@ -379,9 +523,9 @@ class NGHierarchy:
         for ax in range(cfg.ndim):
             F = faces[ax]  # n+1 interfaces along array axis 1+ax
             lo = self._restrict_face_flux(
-                jnp.take(F, 0, axis=1 + ax), ax, cfg)
+                jnp.take(F, 0, axis=1 + ax), ax, level)
             hi = self._restrict_face_flux(
-                jnp.take(F, F.shape[1 + ax] - 1, axis=1 + ax), ax, cfg)
+                jnp.take(F, F.shape[1 + ax] - 1, axis=1 + ax), ax, level)
             out.append((lo, hi))
         return out
 
@@ -410,8 +554,89 @@ class NGHierarchy:
         self.step_count += 1
         return dt
 
-    def run(self, tmax: float, max_steps: int = 10**9):
+    # -- snapshots / restart (reference: every snapshot is a full restart
+    # file with one mesh per level, dataIO/dataio_silo.h:67) ---------------
+    def _stacked_state(self) -> np.ndarray:
+        return np.stack([np.asarray(p) for p in self.P])
+
+    def _header_cfg(self) -> SimConfig:
+        return self.cfg0.with_(nlevels=self.n_levels, ng_centre=self.centre)
+
+    def save(self, path: Optional[str] = None, wait: bool = True) -> str:
+        if path is None:
+            assert self.outfile, "set NGHierarchy.outfile or pass a path"
+            path = f"{self.outfile}.{self.step_count:08d}"
+        extra = {"params": self.params} if self.params else None
+        if wait:
+            from .io import save_snapshot
+
+            self.flush_io()
+            return save_snapshot(path, self._stacked_state(),
+                                 self._header_cfg(), self.t, self.step_count,
+                                 extra=extra)
+        if self._writer is None:
+            from .io.snapshot import AsyncSnapshotWriter
+
+            self._writer = AsyncSnapshotWriter()
+        self._writer.submit(path, self._stacked_state(), self._header_cfg(),
+                            self.t, self.step_count, extra)
+        return path
+
+    def flush_io(self):
+        if self._writer is not None:
+            self._writer.wait()
+
+    @classmethod
+    def restart(cls, path: str, physics=None, **kw) -> "NGHierarchy":
+        """Resume from a multi-level snapshot.  If the snapshot header
+        carries the original parameter section and no ``physics`` is given,
+        the full Physics (chemistry/RT/winds) is rebuilt from it
+        (reference: sim_init.cpp:173-321 rebuilds MP/RT/winds from the
+        header registry)."""
+        from .io.snapshot import load_snapshot_raw
+
+        cfg, P, t, step, extra = load_snapshot_raw(path)
+        params = (extra or {}).get("params")
+        if physics is None and params:
+            from .cli import jet_from_params, physics_from_params
+
+            physics = physics_from_params(cfg, params)
+        hier = cls(cfg, states=[jnp.asarray(p) for p in P], physics=physics,
+                   **kw)
+        hier.t = t
+        hier.step_count = step
+        hier.params = params
+        return hier
+
+    def _maybe_output(self):
+        if self.outfile is None:
+            return
+        if self.opfreq and self.step_count % self.opfreq == 0:
+            self.save(wait=False)
+        if self.opfreq_time > 0.0:
+            if self._next_optime is None:
+                self._next_optime = self.t + self.opfreq_time
+            if self.t >= self._next_optime:
+                while self._next_optime <= self.t:
+                    self._next_optime += self.opfreq_time
+                self.save(wait=False)
+        if self.checkpoint_freq and \
+                self.step_count % self.checkpoint_freq == 0:
+            suffix = 999999 - self._ckpt_flip
+            self._ckpt_flip ^= 1
+            self.save(f"{self.outfile}.{suffix}", wait=False)
+
+    def run(self, tmax: Optional[float] = None, max_steps: int = 10**9):
+        from .utils import StepLogger
+
+        tmax = self.cfgs[0].tmax if tmax is None else tmax
+        logger = StepLogger(self.log_freq)
         while self.t < tmax * (1 - 1e-12) and self.step_count < max_steps:
             dt = min(self.compute_dt(), tmax - self.t)
             self.step(dt)
+            self._maybe_output()
+            logger.log(self.step_count, self.t, dt, self.P[0])
+        if self.outfile is not None:
+            self.save()
+        self.flush_io()
         return self

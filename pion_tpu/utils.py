@@ -83,3 +83,27 @@ class WalltimeGuard:
             self.triggered = True
             # force the run loop to end by exhausting its budget
             sim._tmax = sim.t
+
+
+class StepLogger:
+    """Per-step status line for the run loop (reference:
+    sim_control.cpp:240-270 prints dt/simtime/walltime each step, plus the
+    TESTING finite-ness checks of time_integrator.cpp:745-750).  ``freq=0``
+    disables logging; at log cadence a cheap device reduce flags a
+    non-finite state instead of silently running to the end."""
+
+    def __init__(self, freq: int = 0):
+        self.freq = int(freq)
+        self.t0 = time.time()
+
+    def log(self, step: int, t: float, dt: float, P=None):
+        if not self.freq or step % self.freq:
+            return
+        line = (f"New time: {t:.6e}   dt: {dt:.6e}   steps: {step}"
+                f"   walltime: {time.time() - self.t0:.1f}s")
+        if P is not None:
+            import jax.numpy as jnp
+
+            if not bool(jnp.all(jnp.isfinite(P))):
+                line += "   *** NON-FINITE STATE ***"
+        print(line, flush=True)

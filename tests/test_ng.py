@@ -252,3 +252,112 @@ def test_ng_hii_region_point_source():
     # the coarse overlap (restricted from fine) agrees with the fine front
     rf_coarse = front_radius(hier.P[0], hier.cfgs[0])
     assert abs(rf_coarse - rf_fine) / rf_fine < 0.25, (rf_coarse, rf_fine)
+
+
+def test_ng_offcentre_levels_reference_layout():
+    """NG_centre at a domain corner (Wind2D layout: centre on the R=0
+    axis): level extents follow setup_NG_grid.cpp:142-155 and fine levels
+    keep the domain BC on the coincident faces."""
+    cfg0 = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", shape=(32, 32),
+                     xmin=(0.0, -4.0), xmax=(4.0, 4.0),
+                     bcs=(("reflecting", "outflow"), ("outflow", "outflow")),
+                     nlevels=3, ng_centre=(0.0, 2.0))
+    hier = NGHierarchy(cfg0)
+    # level 1: Rmin stays 0 (centre on boundary), x halves about 2.0
+    np.testing.assert_allclose(hier.cfgs[1].xmin, (0.0, -1.0))
+    np.testing.assert_allclose(hier.cfgs[1].xmax, (2.0, 3.0))
+    np.testing.assert_allclose(hier.cfgs[2].xmin, (0.0, 0.5))
+    np.testing.assert_allclose(hier.cfgs[2].xmax, (1.0, 2.5))
+    # child windows: R-axis offset 0 (coincident), x-axis offset 12 cells
+    assert hier.offs[1] == (0, 12)
+    assert (0, 0) in hier.dom_sides[1] and (0, 0) in hier.dom_sides[2]
+
+    def fill(cfg, grids):
+        return blast_wave(cfg, rho0=1.0, p0=0.1, p_in=10.0, r_in=0.3,
+                          center=(0.4, 2.0))
+
+    init_levels(hier, fill)
+    for _ in range(6):
+        hier.step()
+    for l in range(3):
+        assert np.all(np.isfinite(np.asarray(hier.P[l]))), f"level {l}"
+
+
+def test_ng_cylindrical_blast_conservation():
+    """2-level CYLINDRICAL blast: volume-weighted restriction +
+    area-weighted BC89 conserve composite mass/energy to roundoff
+    (reference: NG_fine_to_coarse_boundaries.cpp:255-320,
+    VectorOps.cpp:688-697)."""
+    from pion_tpu.constants import Coord
+
+    n = 32
+    cfg0 = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll",
+                     coords=Coord.CYLINDRICAL, shape=(n, n),
+                     xmin=(0.0, -1.0), xmax=(2.0, 1.0),
+                     bcs=(("reflecting", "reflecting"),
+                          ("reflecting", "reflecting")),
+                     cfl=0.3, ooa=2, av="falle", etav=0.1,
+                     nlevels=2, ng_centre=(0.0, 0.0))
+    hier = NGHierarchy(cfg0)
+    assert hier.offs[1] == (0, 8)
+
+    def fill(cfg, grids):
+        R, z = grids
+        r = np.sqrt(R**2 + z**2)
+        P = np.zeros((cfg.nvar,) + cfg.shape)
+        P[RO] = 1.0
+        P[PG] = np.where(r < 0.25, 10.0, 0.1)
+        return P
+
+    init_levels(hier, fill)
+
+    def composite(h):
+        Uc = np.asarray(prim_to_cons(h.P[0], h.cfgs[0]))
+        Uf = np.asarray(prim_to_cons(h.P[1], h.cfgs[1]))
+        vc = np.broadcast_to(h.geoms[0].cell_volume, Uc.shape[1:])
+        vf = np.broadcast_to(h.geoms[1].cell_volume, Uf.shape[1:])
+        off = h.offs[1]
+        mask = np.ones(Uc.shape[1:], dtype=bool)
+        mask[off[0]:off[0] + n // 2, off[1]:off[1] + n // 2] = False
+        m = (Uc[RO] * vc)[mask].sum() + (Uf[RO] * vf).sum()
+        e = (Uc[PG] * vc)[mask].sum() + (Uf[PG] * vf).sum()
+        return m, e
+
+    m0, e0 = composite(hier)
+    for _ in range(10):
+        hier.step()
+    m1, e1 = composite(hier)
+    assert np.all(np.isfinite(np.asarray(hier.P[0])))
+    assert np.all(np.isfinite(np.asarray(hier.P[1])))
+    np.testing.assert_allclose(m1, m0, rtol=1e-11)
+    np.testing.assert_allclose(e1, e0, rtol=1e-11)
+
+
+def test_ng_snapshot_restart_bitwise(tmp_path):
+    """NG save -> restart -> identical continuation (reference: every
+    snapshot is a full multi-level restart file, dataio_silo.h:67)."""
+    cfg0 = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", shape=(16, 16),
+                     xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                     bcs=(("outflow", "outflow"),) * 2, cfl=0.3,
+                     nlevels=2)
+    hier = NGHierarchy(cfg0)
+
+    def fill(cfg, grids):
+        return blast_wave(cfg, rho0=1.0, p0=0.1, p_in=10.0, r_in=0.1,
+                          center=(0.5, 0.5))
+
+    init_levels(hier, fill)
+    for _ in range(3):
+        hier.step()
+    path = hier.save(str(tmp_path / "ng_ckpt"))
+    # continue original
+    for _ in range(3):
+        hier.step()
+
+    h2 = NGHierarchy.restart(path)
+    assert h2.n_levels == 2 and h2.step_count == 3
+    for _ in range(3):
+        h2.step()
+    for l in range(2):
+        np.testing.assert_array_equal(np.asarray(hier.P[l]),
+                                      np.asarray(h2.P[l]))
