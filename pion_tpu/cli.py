@@ -84,14 +84,15 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
     gp = lambda k, d: type(d)(params.get(k, d))
 
     if name == "ShockTube":
-        from .ics import shocktube as st
+        from .ics.shocktube import predefined_test
+        from .ics.shocktube import shocktube as generic_shocktube
 
         n = int(params.get("STnumber", 1))
         ang = float(int(params.get("STangleXY", 0))) * np.pi / 180.0
         if ang < 0.0:
             ang = np.arctan(0.5)  # reference: shock_tube.cpp:130
         if n > 0:
-            return st.predefined_test(cfg, n, angle_xy=ang)
+            return predefined_test(cfg, n, angle_xy=ang)
         # user-specified states: STpostvec* = left, STprevec* = right
         # (reference: get_riemann_ics(number, postshock, preshock, ..))
         def vec(prefix):
@@ -110,8 +111,8 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
             return out
 
         x0 = float(params.get("STshockpos", 0.0))
-        return st.shocktube(cfg, vec("STpostvec"), vec("STprevec"), x0,
-                            angle_xy=ang)
+        return generic_shocktube(cfg, vec("STpostvec"), vec("STprevec"), x0,
+                                 angle_xy=ang)
     if name == "Uniform":
         from .ics.problems import uniform
 
@@ -158,11 +159,22 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
         return gen.multi_clumps(cfg, mode="fixnum")
     if name in ("PhotEvap_MultiClumps_FixMass", "PE_MC_FM"):
         return gen.multi_clumps(cfg, mode="fixmass")
-    if name in ("PhotoEvaporatingClump", "PhotoEvaporatingClump2"):
+    if name in ("PhotoEvaporatingClump", "PhotoEvaporatingClump2", "PEC",
+                "PEC2"):
         amb = _ambient_from_params(cfg, params)
-        return gen.spherical_clump(
-            cfg, rho_amb=amb[RO], p_amb=amb[PG],
-            rho_max=gp("PECdratio", 100.0) * amb[RO])
+        # radius/centre semantics: radius is a fraction of the y-range
+        # (x-range in 1D); centre from PEC_{x,y,z}pos in physical coords
+        # (reference: photoevaporating_clump.cpp:114-121, :276-296)
+        yax = 0 if cfg.ndim == 1 else cfg.ndim - 2
+        radius = gp("PECcloudradius", 0.1) * (cfg.xmax[yax] - cfg.xmin[yax])
+        center = _array_order(
+            [float(params.get(f"PEC_{c}pos", 0.0)) for c in "xyz"], cfg.ndim)
+        cltr = [float(params.get(f"PECcloudTR{v}", 0.0))
+                for v in range(cfg.ntracer)]
+        return gen.photoevaporating_clump(
+            cfg, amb, dratio=gp("PECdratio", 1.0),
+            pratio=gp("PECpratio", 1.0), bratio=gp("PECBratio", 1.0),
+            cloud_tracers=cltr, radius=radius, center=center)
     if name == "PhotoEvap_radial":
         center = _array_order(
             [float(params.get(f"PEC_xpos{d}",
@@ -420,30 +432,68 @@ def _outfile(params) -> str:
 
 
 def icgen_main(argv: List[str]) -> str:
-    """``icgen`` equivalent: param file -> IC snapshot
-    (reference: ics/icgen.cpp:83-257)."""
+    """``icgen`` equivalent: param file -> IC snapshot.  For
+    ``grid_nlevels > 1`` the generator is evaluated on every level's
+    extents and a multi-level snapshot is written (reference:
+    ics/icgen.cpp:83-257 serial, ics/icgen_NG.cpp per-level loop)."""
     from .ics import add_noise
     from .io import save_snapshot
 
     params = apply_overrides(read_paramfile(argv[0]), argv[1:])
     cfg = cfg_ics_overrides(config_from_params(params), params)
-    P = build_ics(cfg, params)
     noise = float(params.get("noise", -1) or -1)
-    if noise > 0.0:
-        P = add_noise(P, cfg, noise)
+
+    def one_level(c):
+        P = build_ics(c, params)
+        if P.shape != (c.nvar,) + c.shape:
+            raise ValueError(
+                f"IC generator {params.get('ics')!r} produced shape "
+                f"{P.shape}, expected {(c.nvar,) + c.shape}")
+        if noise > 0.0:
+            P = add_noise(P, c, noise)
+        return P.astype(c.np_dtype)
+
+    if cfg.nlevels > 1:
+        from .ng import make_level_cfg, snap_ng_centre
+
+        centre = snap_ng_centre(cfg)
+        P = np.stack([one_level(make_level_cfg(cfg, l, centre))
+                      for l in range(cfg.nlevels)])
+    else:
+        P = one_level(cfg)
     path = save_snapshot(_outfile(params) + ".00000000", P, cfg,
-                         float(params.get("StartTime", 0.0)), 0)
-    print(f"icgen: wrote {path}")
+                         float(params.get("StartTime", 0.0)), 0,
+                         extra={"params": params})
+    print(f"icgen: wrote {path} ({cfg.nlevels} level(s))")
     return path
 
 
+def _output_opts(params: Dict[str, str]) -> Dict[str, object]:
+    """Output cadence options shared by UG and NG runs
+    (reference: sim_init.cpp:671-760 output_data; OutputCriterion 0 =
+    step-count cadence, 1 = simulation-time cadence)."""
+    crit = int(params.get("OutputCriterion", 0) or 0)
+    return dict(
+        opfreq=(int(params.get("OutputFrequency", 0) or 0)
+                if crit == 0 else 0),
+        opfreq_time=(float(params.get("OPfreqTime", 0.0) or 0.0)
+                     if crit == 1 else 0.0),
+        checkpoint_freq=int(params.get("checkpt_freq", 0) or 0),
+        log_freq=int(params.get("log_freq", 16) or 0),
+    )
+
+
 def run_main(argv: List[str]) -> "object":
-    """``pion`` equivalent: param file or restart snapshot -> run
-    (reference: main.cpp:62-158 with restart detect at :99-112)."""
+    """``pion`` equivalent: param file or restart snapshot -> run.
+    Routes to the NG driver when grid_nlevels > 1 (the pion-ng binary,
+    reference: main_NG.cpp) and rebuilds chemistry/RT/winds from the
+    snapshot header on restart (reference: main.cpp:62-158 with restart
+    detect at :99-112; sim_init.cpp:173-321)."""
     import os
 
     import jax.numpy as jnp
 
+    from .ng import NGHierarchy
     from .sim import Simulation
 
     target = argv[0]
@@ -452,36 +502,54 @@ def run_main(argv: List[str]) -> "object":
         os.path.exists(target) and open(target, "rb").read(6) in
         (b"PTSNAP", b"PK\x03\x04\x00\x00"))
     if is_snapshot:
-        sim = Simulation.restart(target)
-        params = apply_overrides({}, overrides)
-        if params:
-            # allow finishtime/opfreq style overrides on restart
-            tmax = params.get("FinishTime") or params.get("finishtime")
-            if tmax:
+        from .io.snapshot import load_snapshot_raw
+
+        cfg, _P, _t, _s, extra = load_snapshot_raw(target)
+        params = apply_overrides(dict((extra or {}).get("params") or {}),
+                                 overrides)
+        if cfg.nlevels > 1:
+            sim = NGHierarchy.restart(target)
+        else:
+            sim = Simulation.restart(target)
+        tmax = params.get("FinishTime") or params.get("finishtime")
+        if tmax:
+            if cfg.nlevels > 1:
+                sim.cfgs[0] = sim.cfgs[0].with_(tmax=float(tmax))
+            else:
                 sim.cfg = sim.cfg.with_(tmax=float(tmax))
-        sim.outfile = params.get("OutputFile", target.rsplit(".", 1)[0])
-        sim.opfreq = int(params.get("opfreq", 0) or 0)
-        sim.checkpoint_freq = int(params.get("checkpt_freq", 0) or 0)
+        sim.outfile = (os.path.join(params["OutputPath"],
+                                    params["OutputFile"])
+                       if "OutputFile" in params and "OutputPath" in params
+                       else target.rsplit(".", 1)[0])
+        for k, v in _output_opts(params).items():
+            setattr(sim, k, v)
+        sim.params = params or None
     else:
         params = apply_overrides(read_paramfile(target), overrides)
         cfg = cfg_ics_overrides(config_from_params(params), params)
-        P = build_ics(cfg, params)
         phys = physics_from_params(cfg, params)
-        jet = jet_from_params(cfg, params)
-        sim = Simulation(cfg, jnp.asarray(P.astype(cfg.np_dtype)),
-                         t=float(params.get("StartTime", 0.0)),
-                         physics=phys,
-                         outfile=_outfile(params),
-                         opfreq=(int(params.get("OutputFrequency", 0) or 0)
-                                 if int(params.get("OutputCriterion", 0)
-                                        or 0) == 0 else 0),
-                         opfreq_time=(float(params.get("OPfreqTime", 0.0)
-                                            or 0.0)
-                                      if int(params.get("OutputCriterion", 0)
-                                             or 0) == 1 else 0.0),
-                         checkpoint_freq=int(params.get("checkpt_freq", 0)
-                                             or 0),
-                         jet=jet)
+        t0 = float(params.get("StartTime", 0.0))
+        opts = _output_opts(params)
+        if cfg.nlevels > 1:
+            from .ng import make_level_cfg, snap_ng_centre
+
+            centre = snap_ng_centre(cfg)
+            states = [jnp.asarray(
+                build_ics(make_level_cfg(cfg, l, centre), params)
+                .astype(cfg.np_dtype)) for l in range(cfg.nlevels)]
+            sim = NGHierarchy(cfg, physics=phys)
+            sim.t = t0
+            sim.set_states(states)
+            sim.outfile = _outfile(params)
+            for k, v in opts.items():
+                setattr(sim, k, v)
+            sim.params = params
+        else:
+            P = build_ics(cfg, params)
+            jet = jet_from_params(cfg, params)
+            sim = Simulation(cfg, jnp.asarray(P.astype(cfg.np_dtype)),
+                             t=t0, physics=phys, outfile=_outfile(params),
+                             jet=jet, params=params, **opts)
     max_steps = int(params.get("max_steps", 10**9) or 10**9)
     sim.run(max_steps=max_steps)
     print(f"run: finished at t={sim.t:.6e} after {sim.step_count} steps")

@@ -27,6 +27,7 @@ from .problems import (  # noqa: F401
     radiative_shock_outflow,
     random_clumps,
     shock_cloud,
+    photoevaporating_clump,
     spherical_clump,
     uniform,
 )

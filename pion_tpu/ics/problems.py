@@ -463,6 +463,37 @@ def radiative_shock_outflow(cfg: SimConfig, vsh=1.0e7, rho0=1.0e-22,
     return P
 
 
+def photoevaporating_clump(cfg: SimConfig, ambient, dratio=1.0, pratio=1.0,
+                           bratio=1.0, cloud_tracers=(), radius=0.1,
+                           center=None) -> np.ndarray:
+    """I-front hitting a circular/spherical cloud: ambient state everywhere,
+    inside ``radius`` of ``center`` density*=dratio, pressure*=pratio,
+    Bx*=bratio and tracers set to ``cloud_tracers`` (reference:
+    ics/photoevaporating_clump.cpp:500-532 setup_pec — the sub-cell
+    inside_sphere volume fraction becomes a one-cell linear edge ramp
+    here).  RCW120-class configs use dratio=1 with pratio>1: a pure
+    pressure/ionisation cloud."""
+    grids = _mesh(cfg)
+    if center is None:
+        center = [0.5 * (cfg.xmin[i] + cfg.xmax[i]) for i in range(cfg.ndim)]
+    d = np.sqrt(sum((grids[i] - center[i]) ** 2 for i in range(cfg.ndim)))
+    # ~volume fraction of the cell inside the sphere (linear over one cell)
+    vfrac = np.clip((radius - d) / cfg.dx + 0.5, 0.0, 1.0)
+    ambient = np.asarray(ambient, dtype=float)
+    P = np.broadcast_to(
+        ambient.reshape((-1,) + (1,) * cfg.ndim),
+        (cfg.nvar,) + cfg.shape).copy()
+    P[RO] *= 1.0 + (dratio - 1.0) * vfrac
+    P[PG] *= 1.0 + (pratio - 1.0) * vfrac
+    if cfg.eqn.is_mhd:
+        P[BX] *= 1.0 + (bratio - 1.0) * vfrac
+    for v in range(cfg.ntracer):
+        tr = cfg.eqn.nbase + v
+        cl = cloud_tracers[v] if v < len(cloud_tracers) else 0.0
+        P[tr] = vfrac * cl + (1.0 - vfrac) * ambient[tr]
+    return P
+
+
 def photoevap_radial(cfg: SimConfig, ambient, cloud_center,
                      r0, radial_slope=2.0) -> np.ndarray:
     """PhotoEvap_radial: uniform state with an isothermal power-law

@@ -113,6 +113,20 @@ def config_from_params(params: Dict[str, str], **extra) -> SimConfig:
     av_flag = int(gf("ArtificialViscosity", 0) or 0)
     av = {0: "none", 1: "falle", 3: "hcorr", 4: "hcorr_falle"}.get(av_flag,
                                                                    "none")
+
+    # nested-grid section (reference: sim_params.h:232-238; level extents
+    # from NG_centre per setup_NG_grid.cpp:88-160).  NG_refine != 1 would
+    # change per-level cell counts — unused by every reference test config.
+    nlevels = int(gf(["grid_nlevels"], 1) or 1)
+    ng_centre = None
+    if nlevels > 1:
+        cents = [float(gf([f"NG_centre_{a}{a}"], 0.0) or 0.0)
+                 for a in "XYZ"][:ndim]
+        ng_centre = tuple(reversed(cents))
+        for a in "XYZ"[:ndim]:
+            r = gf([f"NG_refine_{a}{a}"], 1)
+            assert int(r or 1) == 1, \
+                "NG_refine != 1 (anisotropic refinement) is not supported"
     cfg = SimConfig(
         ndim=ndim,
         eqn=eqn,
@@ -133,6 +147,12 @@ def config_from_params(params: Dict[str, str], **extra) -> SimConfig:
         max_temperature=float(gf(["EP_Max_Temperature",
                                   "EP_MaxTemperature"], 1.0e100)),
         tmax=float(gf(["FinishTime", "finishtime"], 1.0)),
+        nlevels=nlevels,
+        ng_centre=ng_centre,
+        # precision: the reference's pion_flt compile flag becomes a
+        # run-time param (functionality_flags.h); float64 matches upstream
+        # defaults, float32 is the TPU production mode
+        dtype=str(gf(["dtype", "pion_flt"], "float64")).strip(),
         **extra,
     )
     return cfg

@@ -145,15 +145,15 @@ class NGHierarchy:
                         "disabled upstream too: sim_control_NG.cpp:959-969)")
         else:
             self.phys = [None] * n_levels
+        self.t = 0.0
+        self.step_count = 0
+        self.last_dt = 0.0
+        self._jit_cache = {}
         if states is not None:
             self.set_states(states)
         else:
             self.P = [None] * n_levels
             self.bdata = None
-        self.t = 0.0
-        self.step_count = 0
-        self.last_dt = 0.0
-        self._jit_cache = {}
         # output policy (mirrors Simulation; reference: sim_init.cpp:671-760)
         self.outfile: Optional[str] = None
         self.opfreq = 0
@@ -601,11 +601,11 @@ class NGHierarchy:
             from .cli import jet_from_params, physics_from_params
 
             physics = physics_from_params(cfg, params)
-        hier = cls(cfg, states=[jnp.asarray(p) for p in P], physics=physics,
-                   **kw)
+        hier = cls(cfg, physics=physics, **kw)
         hier.t = t
         hier.step_count = step
         hier.params = params
+        hier.set_states([jnp.asarray(p) for p in P])
         return hier
 
     def _maybe_output(self):

@@ -40,6 +40,11 @@ class Simulation:
     # (radius_cm, state_vector) for a BC.JET face
     # (reference: JP.jetradius/jetstate, sim_params.h:336-337)
     jet: Optional[tuple] = None
+    # raw parameter dict persisted into snapshot headers so a restart can
+    # rebuild chemistry/RT/winds (reference: the RT_*/WIND_*/EP_* registry
+    # in every header, dataIO/parameter_defs.h:56 + sim_init.cpp:173-321)
+    params: Optional[dict] = None
+    log_freq: int = 0                  # per-step status line cadence
 
     def __post_init__(self):
         expect = (self.cfg.nvar,) + self.cfg.shape
@@ -67,10 +72,22 @@ class Simulation:
     @classmethod
     def restart(cls, path: str, **kw) -> "Simulation":
         """Resume from any snapshot (reference: main.cpp:99-112 restart
-        detection; every snapshot is a full restart file)."""
-        from .io import load_snapshot
+        detection; every snapshot is a full restart file).  When the header
+        carries the original parameter section and the caller does not
+        supply ``physics``, the full Physics (chemistry/RT/winds) and jet
+        boundary are rebuilt from it (reference: sim_init.cpp:173-321
+        rebuilds MP/RT/winds from the header registry)."""
+        from .io.snapshot import load_snapshot_raw
 
-        cfg, P, t, step = load_snapshot(path)
+        cfg, P, t, step, extra = load_snapshot_raw(path)
+        params = (extra or {}).get("params")
+        if params:
+            kw.setdefault("params", params)
+            if "physics" not in kw:
+                from .cli import jet_from_params, physics_from_params
+
+                kw["physics"] = physics_from_params(cfg, params)
+                kw.setdefault("jet", jet_from_params(cfg, params))
         sim = cls(cfg, jnp.asarray(P), t=t, step_count=step, **kw)
         return sim
 
@@ -81,17 +98,19 @@ class Simulation:
         if path is None:
             assert self.outfile, "set Simulation.outfile or pass a path"
             path = f"{self.outfile}.{self.step_count:08d}"
+        extra = {"params": self.params} if self.params else None
         if wait:
             from .io import save_snapshot
 
             self.flush_io()
             return save_snapshot(path, np.asarray(self.P), self.cfg,
-                                 self.t, self.step_count)
+                                 self.t, self.step_count, extra=extra)
         if self._writer is None:
             from .io.snapshot import AsyncSnapshotWriter
 
             self._writer = AsyncSnapshotWriter()
-        self._writer.submit(path, self.P, self.cfg, self.t, self.step_count)
+        self._writer.submit(path, self.P, self.cfg, self.t, self.step_count,
+                            extra)
         return path
 
     def flush_io(self):
@@ -135,11 +154,15 @@ class Simulation:
 
     def run(self, tmax: Optional[float] = None, max_steps: int = 10**9,
             callback: Optional[Callable] = None):
+        from .utils import StepLogger
+
         tmax = self.cfg.tmax if tmax is None else tmax
         self._tmax = tmax
+        logger = StepLogger(self.log_freq)
         while self.t < tmax * (1.0 - 1e-12) and self.step_count < max_steps:
-            self.step()
+            dt = self.step()
             self._maybe_output()
+            logger.log(self.step_count, self.t, dt, self.P)
             if callback is not None:
                 callback(self)
         self.P.block_until_ready()

@@ -155,3 +155,104 @@ def test_jet_param_run(tmp_path):
     assert np.all(np.isfinite(P))
     # jet material (fast) has entered near the y=0 symmetry axis
     assert P[2, :4, :4].max() > 1.0, "jet did not inflow"
+
+
+NG_PARAMS = """\
+# 3-level NG cylindrical shocktube (param_ST_Toro1.txt scaled down)
+ndim 2
+coordinates cylindrical
+eqn  euler
+solver 3
+CFL 0.5
+ArtificialViscosity 1
+EtaViscosity 0.15
+OrderOfAccSpace 2
+ntracer 0
+chem_code NONE
+ics ShockTube
+GAMMA 1.4
+STnumber 1
+STshockpos 0.5
+STangleXY 0
+OutputFile ToroNG1
+OutputPath {path}/
+OutputCriterion 0
+OutputFrequency 0
+StartTime 0.0
+FinishTime 0.2
+noise -1.0
+NGridX  32
+NGridY  32
+NGridZ  1
+Xmin -0.3
+Ymin 0.0
+Zmin 0.0
+Xmax 0.9
+Ymax 1.2
+Zmax 0.9
+grid_nlevels          3
+NG_centre_XX          0.3
+NG_centre_YY          0.0e18
+NG_centre_ZZ          0.0e18
+NG_refine_XX          1
+NG_refine_YY          1
+NG_refine_ZZ          1
+BC_XN outflow
+BC_XP outflow
+BC_YN reflecting
+BC_YP reflecting
+BC_Ninternal  0
+"""
+
+
+def test_icgen_and_run_ng_toro1(tmp_path):
+    """The round-2 breakage reproducer: the NG_shocktube/param_ST_Toro1
+    layout (2D cylindrical, 3 levels) must icgen and run through the CLI
+    (reference: main_NG.cpp + sim_control_NG.cpp:564-810)."""
+    from pion_tpu.ng import NGHierarchy
+
+    pf = tmp_path / "param_ST_Toro1.txt"
+    pf.write_text(NG_PARAMS.format(path=tmp_path))
+    snap = icgen_main([str(pf)])
+    cfg, P, t, step = load_snapshot(snap)
+    assert cfg.nlevels == 3 and P.shape == (3, cfg.nvar, 32, 32)
+    # level extents follow the reference recursion about (0.3, R=0)
+    hier_chk = NGHierarchy(cfg)
+    np.testing.assert_allclose(hier_chk.cfgs[1].xmin, (0.0, 0.0))
+    np.testing.assert_allclose(hier_chk.cfgs[1].xmax, (0.6, 0.6))
+    sim = run_main([snap, "max_steps=4", "log_freq=0"])
+    assert sim.step_count == 4 and sim.t > 0.0
+    for l in range(3):
+        assert np.all(np.isfinite(np.asarray(sim.P[l]))), f"level {l}"
+    # a final multi-level snapshot was written and restarts cleanly
+    out = [f for f in tmp_path.iterdir() if f.name.startswith("ToroNG1.0")]
+    assert out
+    h2 = NGHierarchy.restart(str(sorted(out)[-1]))
+    assert h2.step_count == 4 and h2.n_levels == 3
+
+
+def test_restart_preserves_physics(tmp_path):
+    """Snapshot headers carry the parameter registry; a CLI restart
+    rebuilds chemistry/RT/winds instead of silently dropping them
+    (reference: sim_init.cpp:173-321, parameter_defs.h:56)."""
+    from pion_tpu.sim import Simulation
+
+    pf = "/root/reference/test_problems/RCW120/param_RCW120_WindHIIR.txt"
+    params = read_paramfile(pf)
+    params.update(OutputPath=str(tmp_path), OutputFile="rcw",
+                  NGridX="32", NGridY="32", grid_nlevels="1",
+                  OutputCriterion="0", OutputFrequency="0")
+    pf2 = tmp_path / "p.txt"
+    pf2.write_text("\n".join(f"{k} {v}" for k, v in params.items()))
+    snap = icgen_main([str(pf2)])
+    sim = run_main([snap, "max_steps=2", "log_freq=0"])
+    assert sim.physics is not None and sim.physics.mp is not None
+    assert sim.physics.sources and sim.physics.winds
+    # the snapshot it wrote restarts WITH physics
+    out = sorted(f for f in tmp_path.iterdir() if f.name.startswith("rcw.0"))
+    sim2 = Simulation.restart(str(out[-1]))
+    assert sim2.physics is not None and sim2.physics.mp is not None
+    assert sim2.physics.sources and sim2.physics.winds
+    assert type(sim2.physics.mp).__name__ == type(sim.physics.mp).__name__
+    sim2.step()
+    assert np.all(np.isfinite(np.asarray(sim2.P)))
