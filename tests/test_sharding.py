@@ -29,7 +29,8 @@ def test_decompose():
     assert decompose(8, 3, (64, 64, 64)) == (2, 2, 2)
     assert decompose(4, 2, (64, 64)) == (2, 2)
     assert decompose(1, 1, (64,)) == (1,)
-    assert decompose(6, 2, (64, 32)) == (3, 2) or decompose(6, 2, (64, 32)) == (6, 1)
+    # greedy largest-prime-first: 3 -> axis 0 (64 cells), 2 -> axis 1
+    assert decompose(6, 2, (64, 32)) == (3, 2)
 
 
 def test_nproc_invariance():
