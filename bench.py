@@ -72,12 +72,85 @@ def main():
     for s in shape:
         ncell *= s
     ups = ncell * n_iter / elapsed
-    print(json.dumps({
+
+    coupled = coupled_bench(on_tpu, readback)
+
+    out = {
         "metric": "3D GLM-MHD (HLLD, OA2) cell updates/s/chip",
         "value": round(ups),
         "unit": "cell-updates/s",
         "vs_baseline": round(ups / 1.0e6, 2),
-    }))
+    }
+    out.update(coupled)
+    print(json.dumps(out))
+
+
+def coupled_bench(on_tpu, readback):
+    """RCW120/Ostar-class coupled step: MPv3 chemistry + one point
+    radiation source + one stellar wind on the same grid (the production
+    cost structure — BASELINE.md: CVODE + RT dominate).  Reported as extra
+    keys on the bench JSON line."""
+    import numpy as np
+
+    from pion_tpu import SimConfig
+    from pion_tpu.constants import K_B, MSUN, PG, RO, YEAR
+    from pion_tpu.microphysics import MPv3, MPv3Config
+    from pion_tpu.physics import Physics
+    from pion_tpu.raytracing import Source
+    from pion_tpu.sim import Simulation
+    from pion_tpu.winds import WindSource
+
+    n = 128 if on_tpu else 24
+    L = 3.0e18
+    cfg = SimConfig(
+        ndim=3, eqn="euler", solver="hll", ntracer=1,
+        shape=(n, n, n), xmin=(0.0,) * 3, xmax=(L,) * 3,
+        bcs=tuple([("outflow", "outflow")] * 3),
+        cfl=0.3, ooa=2, av="falle", etav=0.1, dtype="float32",
+        min_temperature=50.0, max_temperature=1.0e9, tmax=1.0e16,
+    )
+    mpc = MPv3Config(tracer_slot=cfg.eqn.nbase, ion_src="mono",
+                     n_idot=1.0e48)
+    ctr = (0.5 * L,) * 3
+    phys = Physics(
+        mp=MPv3(mpc),
+        sources=[Source(position=ctr, strength=1.0e48, effect="mono")],
+        wind_sources=[WindSource(position=ctr, radius=6.0 * cfg.dx,
+                                 mdot=1.0e-6 * MSUN / YEAR, vinf=2.0e8,
+                                 t_wind=3.0e4, tracers=(1.0,))],
+        dt_limit=False)
+
+    nH = 300.0
+    P0 = np.zeros((cfg.nvar,) + cfg.shape, dtype=np.float32)
+    P0[RO] = nH * mpc.mean_mass_per_h
+    P0[PG] = 1.1 * nH * K_B * 300.0
+    P0[cfg.eqn.nbase] = 1.0e-6
+    sim = Simulation(cfg, jnp.asarray(P0), physics=phys)
+    dt = float(sim.compute_dt())
+
+    def timed(fn):
+        out = fn(sim.P)          # warm/compile
+        readback(out)
+        k = 10 if on_tpu else 2
+        t0 = time.perf_counter()
+        o = sim.P
+        for _ in range(k):
+            o = fn(o)
+        readback(o)
+        return (time.perf_counter() - t0) / k
+
+    t_coupled = timed(lambda P: sim.fns.advance(P, dt, 0.0))
+    # pure-dynamics time on the identical grid for the cost ratio
+    sim_dyn = Simulation(cfg, jnp.asarray(P0))
+    t_dyn = timed(lambda P: sim_dyn.fns.advance(P, dt, 0.0))
+
+    ups = n ** 3 / t_coupled
+    return {
+        "coupled_metric": "3D MPv3+RT+wind (RCW120-class) cell updates/s/chip",
+        "coupled_value": round(ups),
+        "coupled_unit": "cell-updates/s",
+        "coupled_over_dynamics": round(t_coupled / t_dyn, 2),
+    }
 
 
 if __name__ == "__main__":

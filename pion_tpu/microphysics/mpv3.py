@@ -289,17 +289,31 @@ class MPv3:
         return omx_dot, Edot
 
     # -- integration (reference: MPv3.cpp:1146-1235 + cvode_integrator) ----
-    def _stiff_solve(self, omx0, E0, nH, rt, dt, n_sub=32, n_newton=8):
-        """Fixed-ladder backward-Euler with vectorized, bound-limited 2x2
-        Newton solves.
+    def _stiff_solve(self, omx0, E0, nH, rt, dt, n_sub=32, n_newton=8,
+                     stiffness=None):
+        """Backward-Euler ladder with vectorized, bound-limited 2x2 Newton
+        solves.
 
         The Newton update is clipped per iteration (|dE| <= 0.6 E,
         |d(1-x)| <= 0.3): the energy equation is non-smooth at the Tmin
         cooling limiter and an unclipped Newton can oscillate across it;
         the clip makes the iteration monotone while staying quadratic near
         the root (the reference leans on CVODE's internal step control for
-        the same robustness — cvode_integrator.cpp)."""
-        h = dt / n_sub
+        the same robustness — cvode_integrator.cpp).
+
+        ``stiffness`` (optional traced scalar: the global max |ydot*dt/y|)
+        makes the ladder adaptive: the substep count scales with the
+        stiffness (CVODE's step-control equivalent, SIMD-friendly because
+        every cell shares the count) and each substep's Newton iteration
+        stops on convergence — a mild grid costs ~4x4 RHS evaluations
+        instead of the fixed 32x8."""
+        if stiffness is not None:
+            n_eff = jnp.clip(jnp.ceil(4.0 * stiffness).astype(jnp.int32),
+                             4, n_sub)
+            h = dt / n_eff
+        else:
+            n_eff = None
+            h = dt / n_sub
 
         def rhs(omx, E):
             return self.ydot(omx, E, nH, rt)
@@ -329,14 +343,44 @@ class MPv3:
             E_n = jnp.maximum(E - d_E, 1.0e-10 * y_prev[1])
             return (omx_n, E_n)
 
-        def substep(carry, _):
-            omx, E = carry
-            y = (omx, E)
-            for _i in range(n_newton):
-                y = newton_step(y, (omx, E))
-            return y, None
+        def newton_converged(y, y_prev):
+            """Newton to convergence (or n_newton), global max criterion."""
+            def cond(st):
+                _y, i, err = st
+                return (i < n_newton) & (err > 1.0e-11)
 
-        (omx1, E1), _ = jax.lax.scan(substep, (omx0, E0), None, length=n_sub)
+            def body(st):
+                y_c, i, _err = st
+                y_n = newton_step(y_c, y_prev)
+                err = jnp.maximum(
+                    jnp.max(jnp.abs(y_n[0] - y_c[0])),
+                    jnp.max(jnp.abs((y_n[1] - y_c[1])
+                                    / jnp.maximum(y_c[1], 1e-300))))
+                return (y_n, i + 1, err)
+
+            y_out, _, _ = jax.lax.while_loop(
+                cond, body, (y, jnp.int32(0), jnp.asarray(jnp.inf,
+                                                          dtype=y[1].dtype)))
+            return y_out
+
+        if n_eff is None:
+            def substep(carry, _):
+                omx, E = carry
+                y = newton_converged((omx, E), (omx, E))
+                return y, None
+
+            (omx1, E1), _ = jax.lax.scan(substep, (omx0, E0), None,
+                                         length=n_sub)
+            return omx1, E1
+
+        def substep_body(st):
+            omx, E, k = st
+            omx_n, E_n = newton_converged((omx, E), (omx, E))
+            return (omx_n, E_n, k + 1)
+
+        omx1, E1, _ = jax.lax.while_loop(
+            lambda st: st[2] < n_eff, substep_body,
+            (omx0, E0, jnp.int32(0)))
         return omx1, E1
 
     def update(self, P, dt, cfg: SimConfig, rt: Optional[Dict] = None):
@@ -360,8 +404,21 @@ class MPv3:
                                jnp.abs(d_E * dt / Eint))
         omx_eul = omx + dt * d_omx
         E_eul = Eint + dt * d_E
-        omx_st, E_st = self._stiff_solve(omx, Eint, nH, rt, dt)
         use_euler = maxdelta < EULER_CUTOFF
+        # global short-circuit: when NO cell is past the Euler cutoff the
+        # implicit ladder is skipped entirely at runtime (reference: the
+        # per-cell Euler-vs-CVODE branch, MPv3.cpp:1146-1235 EULER_CUTOFF;
+        # here the branch must be grid-global to stay SIMD-friendly)
+        stiffness = jnp.max(jnp.where(use_euler, 0.0, maxdelta))
+
+        def run_stiff(args):
+            omx_a, E_a, nH_a, rt_a = args
+            return self._stiff_solve(omx_a, E_a, nH_a, rt_a, dt,
+                                     stiffness=stiffness)
+
+        omx_st, E_st = jax.lax.cond(
+            jnp.any(~use_euler), run_stiff, lambda args: (args[0], args[1]),
+            (omx, Eint, nH, rt))
         omx1 = jnp.where(use_euler, omx_eul, omx_st)
         E1 = jnp.where(use_euler, E_eul, E_st)
 
