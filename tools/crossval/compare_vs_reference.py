@@ -1,0 +1,60 @@
+"""Cross-validation: pion_tpu vs the reference C++ binary (text build).
+Cases: Toro1 (156 steps, hybrid RS), Toro3 (strong shock), Brio-Wu
+(ideal-MHD HLLD).  Prints L1/L2/max relative norms per field."""
+import sys, numpy as np
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from pion_tpu import Eqn, SimConfig, Simulation
+from pion_tpu.constants import BX, BY, PG, RO, VX
+
+def run_case(name, ref_file, eqn, solver, gamma, tmax, L, R, x0, nsteps_ref):
+    ref = np.loadtxt(ref_file)
+    n = 200
+    cfg = SimConfig(ndim=1, eqn=eqn, solver=solver, gamma=gamma,
+                    shape=(n,), xmin=(0.0,), xmax=(1.0,),
+                    bcs=(("outflow", "outflow"),), cfl=0.7, ooa=2,
+                    av="falle", etav=0.3, tmax=tmax, dtype="float64")
+    x = cfg.cell_centers(0)
+    P0 = np.zeros((cfg.nvar, n))
+    m = x <= x0
+    for slot, lv, rv in zip(range(len(L)), L, R):
+        P0[slot] = np.where(m, lv, rv)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    print(f"== {name}: t={sim.t:.4f} steps={sim.step_count} (ref {nsteps_ref})")
+    cols = {"rho": (RO, 1), "pg": (PG, 2), "vx": (VX, 3)}
+    bnorm = np.sqrt(4.0 * np.pi)  # text output stores B in Gauss (*sqrt(4pi))
+    if eqn != Eqn.EULER:
+        cols["By"] = (BY, 7)
+    worst = 0.0
+    for nm, (slot, col) in cols.items():
+        a, b = out[slot], ref[:, col]
+        if nm in ("Bx", "By", "Bz"):
+            b = b / bnorm
+        scale = max(np.abs(b).max(), 1e-300)
+        l1 = np.abs(a - b).mean() / scale
+        mx = np.abs(a - b).max() / scale
+        worst = max(worst, l1)
+        print(f"  {nm}: rel L1={l1:.3e}  max={mx:.3e}")
+    return worst
+
+w = []
+w.append(run_case("Toro1 (hybrid)", "/tmp/refrun/toro1ref.00000156.txt",
+                  Eqn.EULER, "hybrid", 1.4, 0.2,
+                  [1.0, 1.0, 0.75], [0.125, 0.1, 0.0], 0.3, 156))
+w.append(run_case("Toro3 (hybrid, strong shock)",
+                  "/tmp/refrun/toro3ref.00000183.txt",
+                  Eqn.EULER, "hybrid", 1.4, 0.012,
+                  [1.0, 1000.0, 0.0], [1.0, 0.01, 0.0], 0.5, 183))
+# Brio-Wu, ideal MHD, HLLD (slots: rho,pg,vx,vy,vz,Bx,By,Bz)
+w.append(run_case("BrioWu (i-mhd HLLD)", "/tmp/refrun/bwref.00000139.txt",
+                  Eqn.MHD, "hlld", 2.0, 0.12,
+                  [1.0, 1.0, 0, 0, 0, 0.75, 1.0, 0],
+                  [0.125, 0.1, 0, 0, 0, 0.75, -1.0, 0], 0.5, 139))
+print(f"worst-case rel L1 across cases: {max(w):.3e}")
+assert max(w) < 2e-2, "cross-validation L1 above gate"
+print("CROSSVAL OK")
