@@ -4,8 +4,8 @@ Reference: analysis/silo2ascii, analysis/silo2fits.  Exports:
 - ASCII column tables (position + all primitive variables)
 - legacy-VTK structured points, directly loadable in VisIt/ParaView (the
   role Silo multimeshes play for the reference's VisIt workflow)
-FITS is intentionally unsupported here (no cfitsio/astropy in the image);
-the .npz snapshot is the native interchange format.
+FITS export lives in io/fits.py (pure-Python writer/reader incl.
+``npz_to_fits``); the .npz snapshot is the native interchange format.
 """
 from __future__ import annotations
 

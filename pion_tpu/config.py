@@ -108,6 +108,15 @@ class SimConfig:
         if self.coords is Coord.SPHERICAL:
             assert self.ndim == 1, "spherical grid is 1D (r)"
         assert self.nlevels >= 1
+        # square/cubic cells, like the reference (uniform_grid.cpp asserts
+        # equal Range/NG per axis); a mismatched domain would silently use
+        # the minor-axis dx for every axis
+        dxs = [(hi - lo) / n
+               for lo, hi, n in zip(self.xmin, self.xmax, self.shape)]
+        if max(dxs) - min(dxs) > 1.0e-10 * max(dxs):
+            raise ValueError(
+                f"cells must be square/cubic: per-axis dx {dxs}; choose "
+                "xmin/xmax so (xmax-xmin)/n is equal on every axis")
         if self.ng_centre is not None:
             object.__setattr__(
                 self, "ng_centre",

@@ -56,12 +56,20 @@ def read_paramfile(path: str) -> Dict[str, str]:
 
 
 def apply_overrides(params: Dict[str, str], overrides) -> Dict[str, str]:
-    """CLI-style name=value overrides (reference: sim_init.cpp:329-660)."""
+    """CLI-style name=value overrides (reference: sim_init.cpp:329-660).
+
+    Override names are matched case-insensitively against existing keys
+    (the reference accepts lowercase ``finishtime=`` for the header's
+    ``FinishTime``); otherwise the override is stored as given."""
     out = dict(params)
+    lower = {k.lower(): k for k in out}
     for ov in overrides:
         if "=" in ov:
             k, v = ov.split("=", 1)
-            out[k.strip()] = v.strip()
+            k = k.strip()
+            key = lower.get(k.lower(), k)
+            out[key] = v.strip()
+            lower[key.lower()] = key
     return out
 
 

@@ -89,7 +89,7 @@ def _av_falle_tile(flux, Pl, Pr, pstar, cfg: SimConfig):
 
 
 def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
-                    dx: float, hll_mask=None, spos: int = -2):
+                    dx: float, cell_mask=None, spos: int = -2):
     """Per-tile sweep math with the sweep axis at position ``spos``.
 
     ``spos=-2``: ``Pt`` is (nvar, N+2*NG, L) — sweep axis in sublanes, a
@@ -119,6 +119,15 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
     n = Pt.shape[spos] - 2 * NG
     glm = cfg.eqn is Eqn.GLM
 
+    hll_mask = None
+    if cell_mask is not None:
+        # interface uses HLL when either adjacent cell is flagged; deriving
+        # it here from the cell mask (sliced exactly like Pl/Pr) avoids
+        # three XLA interface-mask passes per partial update
+        ml = _s2(cell_mask, NG - 1, NG + n)
+        mr = _s2(cell_mask, NG, NG + n + 1)
+        hll_mask = jnp.maximum(ml, mr) > 0.5
+
     if order == 1:
         Pl = _s2(Pt, NG - 1, NG + n)
         Pr = _s2(Pt, NG, NG + n + 1)
@@ -144,8 +153,33 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         Pl_r = _upd(Pl_r, {SI: zero, BX: bxstar})
         Pr_r = _upd(Pr_r, {SI: zero, BX: bxstar})
 
-    flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, None,
-                             hll_mask=hll_mask)
+    if cfg.eqn.is_mhd:
+        # Slim star state: Falle AV for MHD reads only rho, v, B_t of the
+        # interface state (never its pressure), so skip the full
+        # cons_to_prim of ustar that _riemann does — the energy->pressure
+        # conversion plus floor recovery is ~10% of the kernel's VPU work.
+        from . import riemann_mhd as rm
+        from ..constants import VY, VZ
+
+        if cfg.solver is Solver.HLLD:
+            flux_r, ustar = rm.hlld_with_hll_fallback(
+                Pl_r, Pr_r, cfg, hll_mask)
+        elif cfg.solver is Solver.HLL:
+            flux_r, ustar = rm.hll(Pl_r, Pr_r, cfg)
+        elif cfg.solver is Solver.RCV:
+            flux_r, ustar = rm.roe_cv(Pl_r, Pr_r, cfg, None)
+        else:
+            flux_r, ustar = rm.linear(Pl_r, Pr_r, cfg)
+        if cfg.av is AV.FALLE:
+            inv_rho = 1.0 / ustar[RO]
+            pstar = _upd(ustar, {VX: ustar[VX] * inv_rho,
+                                 VY: ustar[VY] * inv_rho,
+                                 VZ: ustar[VZ] * inv_rho})
+        else:
+            pstar = None
+    else:
+        flux_r, pstar = _riemann(Pl_r, Pr_r, cfg, dx / dt, None,
+                                 hll_mask=hll_mask)
 
     if glm:
         flux_r = _upd(flux_r, {
@@ -217,8 +251,9 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
                        dx: float, interpret: bool, mask=None):
     """Launch the fused kernel for one axis.  ``Pt`` is padded along the
     sweep axis only (interior on transverse axes).  ``mask`` (optional,
-    HLLD->HLL fallback) has the same spatial layout with n+1 interfaces on
-    the sweep axis and a leading singleton channel dim.
+    HLLD->HLL fallback) is the per-CELL strong-compression flag as float,
+    laid out exactly like ``Pt`` with a leading singleton channel dim; the
+    interface mask is derived in-kernel.
 
     Every tile is brought to the (nvar, npad, lanes) layout — sweep axis in
     sublanes, a 128-aligned transverse chunk in lanes.  Only the minor-axis
@@ -255,9 +290,9 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
                 sub = p_ref[:, s0 : s1 + 2 * NG, :, :]
                 m = None
                 if m_ref is not None:
-                    m = m_ref[0, s0 : s1 + 1, :, :] > 0.5
+                    m = m_ref[0, s0 : s1 + 2 * NG, :, :]
                 out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k,
-                                      dx, hll_mask=m, spos=-3)
+                                      dx, cell_mask=m, spos=-3)
                 o_ref[:, s0:s1, :, :] = out
             return
         # squeeze any singleton block dims -> (nvar, a, b)
@@ -271,10 +306,8 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             sub = jnp.swapaxes(sub, -1, -2)            # (nvar, npad, bl)
             if m is not None:
                 m = jnp.swapaxes(m, -1, -2)
-        if m is not None:
-            m = m > 0.5
         out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k, dx,
-                              hll_mask=m)
+                              cell_mask=m)
         if transpose:
             out = jnp.swapaxes(out, -1, -2)            # (nvar, bl, n)
         o_ref[...] = out.reshape(o_ref.shape)
@@ -286,7 +319,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             bl = _pick_lanes(ny)
             grid = (ny // bl,)
             in_spec = pl.BlockSpec((nvar, bl, npad), lambda i: (0, i, 0))
-            m_spec = pl.BlockSpec((1, bl, ni), lambda i: (0, i, 0))
+            m_spec = pl.BlockSpec((1, bl, npad), lambda i: (0, i, 0))
             out_spec = pl.BlockSpec((nvar, bl, n), lambda i: (0, i, 0))
             out_shape = jax.ShapeDtypeStruct((nvar, ny, n), Pt.dtype)
             kfn = partial(kernel, transpose=True)
@@ -294,7 +327,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             bx = _pick_lanes(nx)
             grid = (nx // bx,)
             in_spec = pl.BlockSpec((nvar, npad, bx), lambda i: (0, 0, i))
-            m_spec = pl.BlockSpec((1, ni, bx), lambda i: (0, 0, i))
+            m_spec = pl.BlockSpec((1, npad, bx), lambda i: (0, 0, i))
             out_spec = pl.BlockSpec((nvar, n, bx), lambda i: (0, 0, i))
             out_shape = jax.ShapeDtypeStruct((nvar, n, nx), Pt.dtype)
             kfn = partial(kernel, transpose=False)
@@ -305,7 +338,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             grid = (nz, ny // bl)
             in_spec = pl.BlockSpec((nvar, 1, bl, npad),
                                    lambda i, j: (0, i, j, 0))
-            m_spec = pl.BlockSpec((1, 1, bl, ni), lambda i, j: (0, i, j, 0))
+            m_spec = pl.BlockSpec((1, 1, bl, npad), lambda i, j: (0, i, j, 0))
             out_spec = pl.BlockSpec((nvar, 1, bl, n),
                                     lambda i, j: (0, i, j, 0))
             out_shape = jax.ShapeDtypeStruct((nvar, nz, ny, n), Pt.dtype)
@@ -315,7 +348,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             grid = (nz, nx // bx)
             in_spec = pl.BlockSpec((nvar, 1, npad, bx),
                                    lambda i, j: (0, i, 0, j))
-            m_spec = pl.BlockSpec((1, 1, ni, bx), lambda i, j: (0, i, 0, j))
+            m_spec = pl.BlockSpec((1, 1, npad, bx), lambda i, j: (0, i, 0, j))
             out_spec = pl.BlockSpec((nvar, 1, n, bx),
                                     lambda i, j: (0, i, 0, j))
             out_shape = jax.ShapeDtypeStruct((nvar, nz, n, nx), Pt.dtype)
@@ -326,7 +359,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             grid = (ny // by, nx // bx)
             in_spec = pl.BlockSpec((nvar, npad, by, bx),
                                    lambda i, j: (0, 0, i, j))
-            m_spec = pl.BlockSpec((1, ni, by, bx), lambda i, j: (0, 0, i, j))
+            m_spec = pl.BlockSpec((1, npad, by, bx), lambda i, j: (0, 0, i, j))
             out_spec = pl.BlockSpec((nvar, n, by, bx),
                                     lambda i, j: (0, 0, i, j))
             out_shape = jax.ShapeDtypeStruct((nvar, n, ny, nx), Pt.dtype)
@@ -352,6 +385,168 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         interpret=interpret,
         **kwargs,
     )(*args)
+
+
+def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
+                       interpret: bool, P_int, contribs, mask=None):
+    """Fused final sweep for axis 0: computes this axis's dU per segment,
+    adds the other axes' contributions and the base state's conserved
+    vector, applies the floors of ``cons_to_prim`` and the GLM parabolic
+    psi damping, and writes the advanced primitive state — one kernel
+    instead of (sweep + two dU adds + cell_advance + psi damp) XLA passes
+    (reference: time_integrator.cpp:881-940 grid_update_state_vector +
+    eqns_mhd_adiabatic.cpp:651-660 GLMsource).
+
+    ``P_int``: base state P (interior shape).  ``contribs``: list of dU
+    arrays (interior shape) from the other axes.  Returns P-new (interior).
+    """
+    from .eqns import cons_to_prim, prim_to_cons
+
+    nvar = cfg.nvar
+    nd = cfg.ndim
+    axis = 0
+    n = cfg.shape[axis]
+    npad = n + 2 * NG
+    dt = jnp.asarray(dt, Pt.dtype)
+    ch_v = jnp.asarray(0.0 if ch is None else ch, Pt.dtype)
+    has_mask = mask is not None
+    glm = cfg.eqn is Eqn.GLM
+    cr = cfg.glm_cr_factor / dx
+    nc = len(contribs)
+
+    def kernel(*refs, chunked: bool):
+        dt_ref, ch_ref = refs[0], refs[1]
+        p_ref = refs[2]
+        k = 3
+        m_ref = None
+        if has_mask:
+            m_ref = refs[k]
+            k += 1
+        pint_ref = refs[k]
+        c_refs = refs[k + 1 : k + 1 + nc]
+        o_ref = refs[-1]
+        dt_k = dt_ref[0]
+        ch_k = ch_ref[0]
+        damp = jnp.exp(-dt_k * ch_k * jnp.asarray(cr, Pt.dtype))
+
+        def finish(s0, s1, dU_seg, sl):
+            U = prim_to_cons(pint_ref[sl], cfg) + dU_seg
+            for c in c_refs:
+                U = U + c[sl]
+            Pn = cons_to_prim(U, cfg)
+            if glm:
+                Pn = _upd(Pn, {SI: Pn[SI] * damp})
+            o_ref[sl] = Pn
+
+        if chunked:
+            nseg = 32
+            for s0 in range(0, n, nseg):
+                s1 = min(s0 + nseg, n)
+                sub = p_ref[:, s0 : s1 + 2 * NG, :, :]
+                m = None
+                if m_ref is not None:
+                    m = m_ref[0, s0 : s1 + 2 * NG, :, :]
+                dU_seg = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k,
+                                         dx, cell_mask=m, spos=-3)
+                finish(s0, s1, dU_seg, (slice(None), slice(s0, s1)))
+        else:
+            sub = p_ref[...].reshape((nvar,) + tuple(
+                s for s in p_ref.shape[1:] if s != 1))
+            m = None
+            if m_ref is not None:
+                m = m_ref[...].reshape(tuple(
+                    s for s in m_ref.shape[1:] if s != 1))
+            dU = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k, dx,
+                                 cell_mask=m)
+            finish(0, n, dU, (slice(None), slice(None)))
+
+    if nd == 2:
+        ny, nx = cfg.shape
+        bx = _pick_lanes(nx)
+        grid = (nx // bx,)
+        in_spec = pl.BlockSpec((nvar, npad, bx), lambda i: (0, 0, i))
+        m_spec = pl.BlockSpec((1, npad, bx), lambda i: (0, 0, i))
+        int_spec = pl.BlockSpec((nvar, n, bx), lambda i: (0, 0, i))
+        out_shape = jax.ShapeDtypeStruct((nvar, n, nx), Pt.dtype)
+        kfn = partial(kernel, chunked=False)
+    else:
+        nz, ny, nx = cfg.shape
+        bx = _pick_lanes(nx)
+        by = _pick_rows(ny)
+        grid = (ny // by, nx // bx)
+        in_spec = pl.BlockSpec((nvar, npad, by, bx), lambda i, j: (0, 0, i, j))
+        m_spec = pl.BlockSpec((1, npad, by, bx), lambda i, j: (0, 0, i, j))
+        int_spec = pl.BlockSpec((nvar, n, by, bx), lambda i, j: (0, 0, i, j))
+        out_shape = jax.ShapeDtypeStruct((nvar, n, ny, nx), Pt.dtype)
+        kfn = partial(kernel, chunked=True)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    specs = [smem, smem, in_spec] + ([m_spec] if has_mask else []) \
+        + [int_spec] * (1 + nc)
+    args = [dt.reshape(1), ch_v.reshape(1), Pt] \
+        + ([mask] if has_mask else []) + [P_int] + list(contribs)
+    return pl.pallas_call(
+        kfn,
+        grid=grid,
+        in_specs=specs,
+        out_specs=int_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+
+
+def advance_dynamics_pallas(
+    P: jnp.ndarray,
+    Ph_pad: jnp.ndarray,
+    cfg: SimConfig,
+    geom: Geometry,
+    dt,
+    order: int,
+    ch=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused pure-dynamics partial update: P + dt*dU[Ph] -> P-new.
+
+    Transverse-axis contributions run as the usual sweep kernels; the
+    axis-0 kernel also applies the conserved update, floors and GLM psi
+    damping (see ``_final_axis_pallas``).  Only valid when no microphysics
+    or conduction term joins the update (the stepper falls back to the
+    composed path otherwise)."""
+    from .sweep import _interior, _slab, hlld_fallback_cells
+
+    assert supports(cfg)
+    dx = geom.dx
+    nd = cfg.ndim
+    ng = NG
+    if cfg.eqn is Eqn.GLM and ch is None:
+        ch = cfg.cfl * dx / dt
+
+    strong = None
+    if (cfg.solver is Solver.HLLD and cfg.eqn.is_mhd
+            and cfg.hlld_fallback):
+        strong = hlld_fallback_cells(Ph_pad, cfg, dx).astype(Ph_pad.dtype)
+
+    def axis_mask(axis):
+        # per-cell flag, sliced like the state tile (interface max taken
+        # in-kernel)
+        if strong is None:
+            return None
+        return _interior(strong[None], cfg, skip_axis=axis)
+
+    contribs = []
+    for axis in range(1, nd):
+        Pt = _interior(Ph_pad, cfg, skip_axis=axis)
+        contribs.append(_sweep_axis_pallas(
+            Pt, cfg, axis, order, dt, ch, dx, interpret,
+            mask=axis_mask(axis)))
+    Pt0 = _interior(Ph_pad, cfg, skip_axis=0)
+    return _final_axis_pallas(Pt0, cfg, order, dt, ch, dx, interpret,
+                              P, contribs, mask=axis_mask(0))
 
 
 def dynamics_dU_pallas(
@@ -383,13 +578,7 @@ def dynamics_dU_pallas(
         Pt = _interior(Ph_pad, cfg, skip_axis=axis)
         mask = None
         if strong is not None:
-            n = cfg.shape[axis]
-            sl_t = [slice(ng, -ng) if a != axis else slice(None)
-                    for a in range(nd)]
-            smi = strong[tuple(sl_t)]
-            ml = _slab(smi[None], 1 + axis, ng - 1, ng + n)[0]
-            mr = _slab(smi[None], 1 + axis, ng, ng + n + 1)[0]
-            mask = jnp.maximum(ml, mr)[None]  # leading channel dim
+            mask = _interior(strong[None], cfg, skip_axis=axis)
         contrib = _sweep_axis_pallas(Pt, cfg, axis, order, dt, ch, dx,
                                      interpret, mask=mask)
         dU = contrib if dU is None else dU + contrib

@@ -48,12 +48,21 @@ def _interface_common(Pl, Pr, cfg: SimConfig):
 
 
 def hll(Pl, Pr, cfg: SimConfig, common=None):
-    """Two-wave HLL flux (reference: HLLD_MHD.cpp:380-430 MHD_HLL_flux_solver)."""
+    """Two-wave HLL flux (reference: HLLD_MHD.cpp:380-430 MHD_HLL_flux_solver).
+
+    Single-formula form with clamped wave speeds lp=max(sr,0), lm=min(sl,0):
+    f = (lp*fl - lm*fr + lp*lm*(ur-ul)) / (lp-lm) reproduces all three
+    regions of the reference's if-tree exactly (sl>0 -> lp/lp=1 -> fl;
+    sr<0 -> fr; else the mid-state flux) without per-channel selects."""
     ul, ur, fl, fr, sl, sr = common or _interface_common(Pl, Pr, cfg)
-    inv_ds = 1.0 / (sr - sl)
-    f_mid = (sr * fl - sl * fr + sr * sl * (ur - ul)) * inv_ds
-    f = jnp.where(sl > 0.0, fl, jnp.where(sr < 0.0, fr, f_mid))
-    ustar = (sr * ur - sl * ul + fl - fr) * inv_ds
+    lp = jnp.maximum(sr, 0.0)
+    lm = jnp.minimum(sl, 0.0)
+    inv = 1.0 / (lp - lm)
+    c_l = lp * inv
+    c_r = -lm * inv
+    c_u = lp * lm * inv
+    f = c_l * fl + c_r * fr + c_u * (ur - ul)
+    ustar = (sr * ur - sl * ul + fl - fr) / (sr - sl)
     return f, ustar
 
 

@@ -224,30 +224,38 @@ def hlld_fallback_cells(Ph_pad, cfg: SimConfig, dx: float):
     (Mignone et al. 2011; reference: solver_eqn_base.cpp:398-412 preprocess
     sets DivV and MagGradP = sum_axes |dp|/min(p), threshold 5 at
     solver_eqn_mhd_adi.cpp:167-182).  Computed on the padded array so the
-    one-ghost-deep cells used by boundary interfaces are covered."""
+    one-ghost-deep cells used by boundary interfaces are covered.
+
+    All terms are evaluated on the aligned 1-ring region (every spatial
+    axis sliced to 1..npad-2) so the whole mask is one fused elementwise
+    pass over shifted slices of the same array, then zero-padded back to
+    the padded shape with a single pad.  Both sweep drivers only read the
+    mask at cells 1..npad-2 along the sweep axis and interior transverse
+    cells, so the zero edge layer never feeds an interface (the previous
+    edge-clamped ``jnp.concatenate`` form materialized twelve full-grid
+    copies and cost ~5 ms/step at 128^3)."""
     nd = cfg.ndim
+    p = Ph_pad[PG]
+
+    def ring(A, ax0, shift):
+        # A sliced to the 1-ring region, offset by ``shift`` along ax0
+        return A[tuple(slice(1 + shift, A.shape[a] - 1 + shift)
+                       if a == ax0 else slice(1, -1)
+                       for a in range(nd))]
+
     divv = None
     gradp = None
     for ax0 in range(nd):
-        ax = 1 + ax0
         k = nd - 1 - ax0
         v = Ph_pad[VX + k]
-        npd = v.shape[ax0]
-        lo = jnp.concatenate([_slab(v[None], ax, 0, 1)[0],
-                              _slab(v[None], ax, 0, -1)[0]], axis=ax0)
-        hi = jnp.concatenate([_slab(v[None], ax, 1, None)[0],
-                              _slab(v[None], ax, npd - 1, None)[0]], axis=ax0)
-        d = (hi - lo) / (2.0 * dx)
+        d = (ring(v, ax0, 1) - ring(v, ax0, -1)) / (2.0 * dx)
         divv = d if divv is None else divv + d
-        p = Ph_pad[PG]
-        plo = jnp.concatenate([_slab(p[None], ax, 0, 1)[0],
-                               _slab(p[None], ax, 0, -1)[0]], axis=ax0)
-        phi = jnp.concatenate([_slab(p[None], ax, 1, None)[0],
-                               _slab(p[None], ax, npd - 1, None)[0]], axis=ax0)
+        phi = ring(p, ax0, 1)
+        plo = ring(p, ax0, -1)
         gz = jnp.abs(phi - plo) / jnp.minimum(phi, plo)
         gradp = gz if gradp is None else gradp + gz
     strong = (divv < 0.0) & (gradp > 5.0)
-    return strong
+    return jnp.pad(strong, [(1, 1)] * nd)
 
 
 def _select_hcorr_eta(etas, cfg: SimConfig, axis: int, n: int):

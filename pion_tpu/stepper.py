@@ -63,9 +63,17 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
                 and cfg.dtype == "float32")
         )
         if use:
+            interp = cfg.pallas == "interpret"
+            if physics is None and not cfg.conduction:
+                # pure dynamics: the final-axis kernel also applies the
+                # conserved update + floors + GLM damping (no separate
+                # cell_advance / psi-damp passes)
+                return pallas_sweep.advance_dynamics_pallas(
+                    P, Ppad, cfg, geom, dt, order_space, ch=ch,
+                    interpret=interp)
             dU = pallas_sweep.dynamics_dU_pallas(
                 Ppad, cfg, geom, dt, order_space, ch=ch,
-                interpret=(cfg.pallas == "interpret"))
+                interpret=interp)
     if dU is None:
         dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
     if physics is not None and physics.mp is not None:

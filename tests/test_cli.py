@@ -239,8 +239,9 @@ def test_restart_preserves_physics(tmp_path):
 
     pf = "/root/reference/test_problems/RCW120/param_RCW120_WindHIIR.txt"
     params = read_paramfile(pf)
+    # keep the file's 2:1 domain square-celled at reduced resolution
     params.update(OutputPath=str(tmp_path), OutputFile="rcw",
-                  NGridX="32", NGridY="32", grid_nlevels="1",
+                  NGridX="64", NGridY="32", grid_nlevels="1",
                   OutputCriterion="0", OutputFrequency="0")
     pf2 = tmp_path / "p.txt"
     pf2.write_text("\n".join(f"{k} {v}" for k, v in params.items()))

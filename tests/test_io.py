@@ -79,7 +79,7 @@ def test_fits_roundtrip(tmp_path):
 
     cfg = SimConfig(
         ndim=3, eqn="glm", solver="hlld", ntracer=2, shape=(4, 6, 8),
-        xmin=(0.0, 0.0, 0.0), xmax=(1.0, 1.0, 1.0),
+        xmin=(0.0, 0.0, 0.0), xmax=(0.5, 0.75, 1.0),
         bcs=tuple([("outflow", "outflow")] * 3), cfl=0.3, ooa=2,
     )
     rng = np.random.default_rng(0)

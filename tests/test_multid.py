@@ -55,7 +55,7 @@ def test_axis_equivalence_2d():
 
 
 @pytest.mark.parametrize("coords,ndim,shape", [
-    (Coord.CYLINDRICAL, 2, (32, 16)),
+    (Coord.CYLINDRICAL, 2, (16, 16)),
     (Coord.SPHERICAL, 1, (64,)),
 ])
 def test_uniform_state_preserved_curvilinear(coords, ndim, shape):

@@ -258,7 +258,7 @@ def test_ng_offcentre_levels_reference_layout():
     """NG_centre at a domain corner (Wind2D layout: centre on the R=0
     axis): level extents follow setup_NG_grid.cpp:142-155 and fine levels
     keep the domain BC on the coincident faces."""
-    cfg0 = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", shape=(32, 32),
+    cfg0 = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", shape=(16, 32),
                      xmin=(0.0, -4.0), xmax=(4.0, 4.0),
                      bcs=(("reflecting", "outflow"), ("outflow", "outflow")),
                      nlevels=3, ng_centre=(0.0, 2.0))

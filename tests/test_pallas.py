@@ -14,18 +14,19 @@ from pion_tpu.ops.sweep import dynamics_dU
 def test_pallas_matches_xla(case):
     if case == "glm3d":
         cfg = SimConfig(ndim=3, eqn=Eqn.GLM, solver="hlld", ntracer=1,
-                        shape=(8, 8, 128), xmin=(0, 0, 0), xmax=(1, 1, 1),
+                        shape=(8, 8, 128), xmin=(0, 0, 0),
+                        xmax=(8 / 128, 8 / 128, 1),
                         bcs=(("outflow", "outflow"),) * 3,
                         av="falle", etav=0.1)
         P0 = blast_wave(cfg, B0=(0.1, 0.05, 0.02))
     elif case == "euler2d":
         cfg = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", ntracer=0,
-                        shape=(16, 128), xmin=(0, 0), xmax=(1, 1),
+                        shape=(16, 128), xmin=(0, 0), xmax=(16 / 128, 1),
                         bcs=(("outflow", "outflow"),) * 2, av="none")
         P0 = blast_wave(cfg)
     else:
         cfg = SimConfig(ndim=2, eqn=Eqn.MHD, solver="linear", ntracer=0,
-                        shape=(16, 128), xmin=(0, 0), xmax=(1, 1),
+                        shape=(16, 128), xmin=(0, 0), xmax=(16 / 128, 1),
                         bcs=(("outflow", "outflow"),) * 2, av="falle")
         P0 = blast_wave(cfg, B0=(0.2, 0.1, 0.0))
     assert supports(cfg)
@@ -40,6 +41,43 @@ def test_pallas_matches_xla(case):
         out = dynamics_dU_pallas(Ppad, cfg, geom, dt, order, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-10, atol=1e-13)
+
+
+@pytest.mark.parametrize("case", ["glm3d", "euler2d"])
+def test_fused_advance_matches_composed(case):
+    """advance() routes pure-dynamics pallas runs through the fused
+    final-axis kernel (dU + cell_advance + GLM damp in one call); its
+    result must match the composed XLA path."""
+    import dataclasses
+
+    from pion_tpu.stepper import advance
+
+    if case == "glm3d":
+        cfg = SimConfig(ndim=3, eqn=Eqn.GLM, solver="hlld", ntracer=1,
+                        shape=(8, 8, 128), xmin=(0, 0, 0),
+                        xmax=(8 / 128, 8 / 128, 1),
+                        bcs=(("outflow", "outflow"),) * 3,
+                        av="falle", etav=0.1, pallas="interpret")
+        P0 = blast_wave(cfg, B0=(0.1, 0.05, 0.02))
+    else:
+        cfg = SimConfig(ndim=2, eqn=Eqn.EULER, solver="hll", ntracer=0,
+                        shape=(16, 128), xmin=(0, 0), xmax=(16 / 128, 1),
+                        bcs=(("outflow", "outflow"),) * 2, av="none",
+                        pallas="interpret")
+        P0 = blast_wave(cfg)
+    geom = make_geometry(cfg)
+    rng = np.random.default_rng(1)
+    P0[2:5] += 0.1 * rng.standard_normal((3,) + cfg.shape)
+    P0 = jnp.asarray(P0)
+    cfg_xla = dataclasses.replace(cfg, pallas="off")
+    dt = 1.0e-3
+    for ooa in (1, 2):
+        c_p = dataclasses.replace(cfg, ooa=ooa)
+        c_x = dataclasses.replace(cfg_xla, ooa=ooa)
+        out = advance(P0, dt, c_p, geom, BoundaryData())
+        ref = advance(P0, dt, c_x, geom, BoundaryData())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-9)
 
 
 def test_unsupported_configs_fall_back():

@@ -122,7 +122,7 @@ def test_shock_cloud():
 def test_laser_ablation_ic():
     from pion_tpu.ics.problems import laser_ablation
     cfg = SimConfig(ndim=2, eqn=Eqn.EULER, coords=Coord.CYLINDRICAL,
-                    solver="hll", shape=(64, 64), xmin=(0.0, 0.0),
+                    solver="hll", shape=(64, 8), xmin=(0.0, 0.0),
                     xmax=(0.08, 0.01), ntracer=1,
                     bcs=(("axisymmetric", "outflow"),
                          ("reflecting", "outflow")))
@@ -153,7 +153,7 @@ def test_map_1d_to_2d_spherical_profile():
     data[PG] = 1.0 / r**(10.0 / 3.0)
     data[VX] = 2.0         # radial velocity
     cfg2 = SimConfig(ndim=2, coords=Coord.CYLINDRICAL, solver="hll",
-                     shape=(64, 64), xmin=(0.0, -1.0), xmax=(1.0, 1.0),
+                     shape=(32, 64), xmin=(0.0, -1.0), xmax=(1.0, 1.0),
                      bcs=(("axisymmetric", "outflow"),
                           ("outflow", "outflow")))
     P = map_1d_to_2d(r, data, cfg2)

@@ -122,7 +122,7 @@ def test_planar_if_perturbations():
 
 def test_irradiated_cloud():
     L = 4.0 * PARSEC
-    cfg = _cfg2d(ny=32, nx=64, xmin=(-L / 2, 0.0), xmax=(L / 2, L))
+    cfg = _cfg2d(ny=32, nx=64, xmin=(-L / 4, 0.0), xmax=(L / 4, L))
     Pu = irradiated_cloud(cfg, "uniform")
     assert np.isclose(Pu[RO].min(), 50.0 * M_P)
     assert np.isclose(Pu[RO].max(), 1000.0 * M_P)

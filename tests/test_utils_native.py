@@ -115,7 +115,7 @@ def test_cell_inspector(tmp_path):
     from pion_tpu.io import save_snapshot
 
     cfg = SimConfig(ndim=2, eqn="euler", shape=(4, 8), xmin=(0.0, 0.0),
-                    xmax=(2.0, 1.0), bcs=(("outflow", "outflow"),) * 2)
+                    xmax=(1.0, 2.0), bcs=(("outflow", "outflow"),) * 2)
     P = np.arange(cfg.nvar * 4 * 8, dtype=float).reshape(cfg.nvar, 4, 8)
     dbg = CellInspector(P, cfg)
     assert dbg.fpt() == (0, 0)

@@ -20,7 +20,7 @@ def wind_sim(n=64, evolution=None, mdot=1.0e-6 * MSUN_YR):
     rmax = 0.5 * PC
     cfg = SimConfig(
         ndim=2, eqn=Eqn.EULER, solver="hll", coords=Coord.CYLINDRICAL,
-        shape=(n // 2, n), xmin=(0.0, -rmax), xmax=(rmax / 1.0 / 2 * 1, rmax),
+        shape=(n // 2, n), xmin=(0.0, -rmax / 2), xmax=(rmax / 2, rmax / 2),
         bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")),
         cfl=0.3, ooa=2, av="falle", etav=0.1, tmax=1.0,
     )
@@ -147,7 +147,7 @@ def test_angle_wind_state_on_grid():
     n = 64
     cfg = SimConfig(
         ndim=2, eqn=Eqn.EULER, solver="hll", coords=Coord.CYLINDRICAL,
-        shape=(n // 2, n), xmin=(0.0, -rmax), xmax=(rmax / 2, rmax),
+        shape=(n // 2, n), xmin=(0.0, -rmax / 2), xmax=(rmax / 2, rmax / 2),
         bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")),
         cfl=0.3, tmax=1.0,
     )
@@ -213,7 +213,7 @@ def test_mhd_wind_split_monopole():
     n = 64
     cfg = SimConfig(
         ndim=2, eqn=Eqn.GLM, solver="hll", coords=Coord.CYLINDRICAL,
-        shape=(n // 2, n), xmin=(0.0, -rmax), xmax=(rmax / 2, rmax),
+        shape=(n // 2, n), xmin=(0.0, -rmax / 2), xmax=(rmax / 2, rmax / 2),
         bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")),
         cfl=0.3, tmax=1.0,
     )
@@ -255,7 +255,7 @@ def test_wind_f32_safe():
         n = 32
         cfg = SimConfig(
             ndim=2, eqn=Eqn.EULER, solver="hll", coords=Coord.CYLINDRICAL,
-            shape=(n // 2, n), xmin=(0.0, -rmax), xmax=(rmax / 2, rmax),
+            shape=(n // 2, n), xmin=(0.0, -rmax / 2), xmax=(rmax / 2, rmax / 2),
             bcs=(("axisymmetric", "outflow"), ("outflow", "outflow")),
             cfl=0.3, tmax=1.0, dtype="float32",
         )
