@@ -448,6 +448,7 @@ class NGHierarchy:
         geom = self.geoms[level]
         phys = self.phys[level]
         P = states[level]
+        scma = phys is not None and phys.mp is not None
         glm = cfg.eqn is Eqn.GLM
         ch = cfg.cfl * geom.dx / dt if glm else None
         if t0 is None:
@@ -455,7 +456,8 @@ class NGHierarchy:
 
         # predictor half-step (1st-order space)
         Ppad = self._pad_level(level, P, parent_state)
-        dU_h, _ = dynamics_dU(Ppad, cfg, geom, 0.5 * dt, 1, ch=ch)
+        dU_h, _ = dynamics_dU(Ppad, cfg, geom, 0.5 * dt, 1, ch=ch,
+                              scma=scma)
         if phys is not None and phys.mp is not None:
             dU_h = dU_h + phys.mp_delta_U(P, P, 0.5 * dt, cfg, tau_in)
         Ph = cell_advance(P, dU_h, cfg)
@@ -478,7 +480,8 @@ class NGHierarchy:
 
         # corrector (2nd-order space), keep face fluxes
         Ppad = self._pad_level(level, Ph, parent_state)
-        dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch)
+        dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch,
+                                  scma=scma)
         if phys is not None and phys.mp is not None:
             dU_f = dU_f + phys.mp_delta_U(P, Ph, dt, cfg, tau_in)
 

@@ -34,6 +34,8 @@ from .eqns import inverse_perm, sweep_perm
 from .recon import van_albada
 
 NG = 2  # ghost depth, matches SimConfig.ng
+NSEG = 16  # sweep-axis segment length inside chunked kernels (VMEM knob;
+            # 16 measured fastest at 128^3 on v5e, 128 OOMs scoped vmem)
 
 
 def supports(cfg: SimConfig) -> bool:
@@ -89,7 +91,8 @@ def _av_falle_tile(flux, Pl, Pr, pstar, cfg: SimConfig):
 
 
 def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
-                    dx: float, cell_mask=None, spos: int = -2):
+                    dx: float, cell_mask=None, spos: int = -2,
+                    scma: bool = False):
     """Per-tile sweep math with the sweep axis at position ``spos``.
 
     ``spos=-2``: ``Pt`` is (nvar, N+2*NG, L) — sweep axis in sublanes, a
@@ -195,7 +198,13 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         fm = flux_r[RO]
         upd = {}
         for v in range(cfg.eqn.nbase, cfg.nvar):
-            f_tr = jnp.where(fm > 0.0, Pl_r[v] * fm, Pr_r[v] * fm)
+            pl_t, pr_t = Pl_r[v], Pr_r[v]
+            if scma:
+                # sCMA corrector: advected tracer clamped to <=1 when a
+                # microphysics module owns the tracers (see sweep.py)
+                pl_t = jnp.minimum(pl_t, 1.0)
+                pr_t = jnp.minimum(pr_t, 1.0)
+            f_tr = jnp.where(fm > 0.0, pl_t * fm, pr_t * fm)
             upd[v] = jnp.where(fm == 0.0, 0.0, f_tr)
         flux_r = _upd(flux_r, upd)
 
@@ -248,7 +257,8 @@ def _pick_lanes(n: int) -> int:
 
 
 def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
-                       dx: float, interpret: bool, mask=None):
+                       dx: float, interpret: bool, mask=None,
+                       scma: bool = False):
     """Launch the fused kernel for one axis.  ``Pt`` is padded along the
     sweep axis only (interior on transverse axes).  ``mask`` (optional,
     HLLD->HLL fallback) is the per-CELL strong-compression flag as float,
@@ -283,7 +293,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             # segment's Riemann intermediates are live in VMEM; segments
             # overlap by the 3-cell interface stencil.
             npad_k = p_ref.shape[1]
-            nseg = 32
+            nseg = NSEG
             n_int = npad_k - 2 * NG
             for s0 in range(0, n_int, nseg):
                 s1 = min(s0 + nseg, n_int)
@@ -292,7 +302,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
                 if m_ref is not None:
                     m = m_ref[0, s0 : s1 + 2 * NG, :, :]
                 out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k,
-                                      dx, cell_mask=m, spos=-3)
+                                      dx, cell_mask=m, spos=-3, scma=scma)
                 o_ref[:, s0:s1, :, :] = out
             return
         # squeeze any singleton block dims -> (nvar, a, b)
@@ -307,7 +317,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             if m is not None:
                 m = jnp.swapaxes(m, -1, -2)
         out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k, dx,
-                              cell_mask=m)
+                              cell_mask=m, scma=scma)
         if transpose:
             out = jnp.swapaxes(out, -1, -2)            # (nvar, bl, n)
         o_ref[...] = out.reshape(o_ref.shape)
@@ -439,7 +449,7 @@ def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
             o_ref[sl] = Pn
 
         if chunked:
-            nseg = 32
+            nseg = NSEG
             for s0 in range(0, n, nseg):
                 s1 = min(s0 + nseg, n)
                 sub = p_ref[:, s0 : s1 + 2 * NG, :, :]
@@ -557,6 +567,7 @@ def dynamics_dU_pallas(
     order: int,
     ch=None,
     interpret: bool = False,
+    scma: bool = False,
 ) -> jnp.ndarray:
     """Fused-path dU (no face-flux output; NG hierarchies use the XLA path)."""
     from .sweep import _interior, _slab, hlld_fallback_cells
@@ -580,6 +591,6 @@ def dynamics_dU_pallas(
         if strong is not None:
             mask = _interior(strong[None], cfg, skip_axis=axis)
         contrib = _sweep_axis_pallas(Pt, cfg, axis, order, dt, ch, dx,
-                                     interpret, mask=mask)
+                                     interpret, mask=mask, scma=scma)
         dU = contrib if dU is None else dU + contrib
     return dU

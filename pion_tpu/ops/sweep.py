@@ -291,6 +291,7 @@ def dynamics_dU(
     dt,
     order: int,
     ch=None,
+    scma: bool = False,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """dt * (-div F + geometric/Powell/GLM sources) for all interior cells.
 
@@ -383,7 +384,17 @@ def dynamics_dU(
         if cfg.ntracer:
             fm = flux_r[RO]
             tr = cfg.tracer_slice
-            f_tr = jnp.where(fm > 0.0, Pl_r[tr] * fm, Pr_r[tr] * fm)
+            Plt, Prt = Pl_r[tr], Pr_r[tr]
+            if scma:
+                # sCMA corrector (Plewa & Muller 1999; reference:
+                # microphysics_base.cpp:80-131 + solver_eqn_base.cpp:320-334):
+                # tracers above 1 advect as 1 (corrector = 1/p; the p<0 -> 0
+                # branch upstream is dead code, overwritten on the next line,
+                # so negative values pass through unchanged).  Only active
+                # when a microphysics module owns the tracers.
+                Plt = jnp.minimum(Plt, 1.0)
+                Prt = jnp.minimum(Prt, 1.0)
+            f_tr = jnp.where(fm > 0.0, Plt * fm, Prt * fm)
             f_tr = jnp.where(fm == 0.0, 0.0, f_tr)
             flux_r = flux_r.at[tr].set(f_tr)
 

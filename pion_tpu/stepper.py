@@ -73,9 +73,11 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
                     interpret=interp)
             dU = pallas_sweep.dynamics_dU_pallas(
                 Ppad, cfg, geom, dt, order_space, ch=ch,
-                interpret=interp)
+                interpret=interp, scma=physics.mp is not None)
     if dU is None:
-        dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch)
+        dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch,
+                                 scma=(physics is not None
+                                       and physics.mp is not None))
     if physics is not None and physics.mp is not None:
         dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)
     if cfg.conduction:

@@ -128,3 +128,37 @@ def test_orszag_tang_stable():
     )
     bmag = np.sqrt(out[BX] ** 2 + out[BY] ** 2).mean()
     assert np.abs(divb).mean() * dx / bmag < 0.1
+
+
+def test_scma_tracer_corrector():
+    """sCMA (Plewa & Muller 1999): with a microphysics module active,
+    out-of-range tracers advect as min(tracer, 1) in the upwind flux
+    (reference: microphysics_base.cpp:80-131, solver_eqn_base.cpp:320-334).
+    Pure-dynamics (colour-tracer) runs are unaffected."""
+    from pion_tpu import make_geometry
+    from pion_tpu.boundaries import BoundaryData, apply_bcs
+    from pion_tpu.ops.sweep import dynamics_dU
+
+    cfg = SimConfig(ndim=2, eqn=Eqn.EULER, solver=Solver.HLL, ntracer=1,
+                    shape=(8, 16), xmin=(0.0, 0.0), xmax=(0.5, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, av="none")
+    geom = make_geometry(cfg)
+    rng = np.random.default_rng(3)
+    P0 = np.ones((cfg.nvar,) + cfg.shape)
+    P0[1] = 0.6
+    P0[2:4] = 0.3 * rng.standard_normal((2,) + cfg.shape)
+    P0[cfg.eqn.nbase] = 1.5   # out-of-range ion fraction
+    Ppad = apply_bcs(jnp.asarray(P0), cfg, BoundaryData())
+    dU_off, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2)
+    dU_on, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2, scma=True)
+    tr = cfg.eqn.nbase
+    # physical slots identical, tracer dU differs (clamped advection)
+    np.testing.assert_array_equal(np.asarray(dU_off[:tr]),
+                                  np.asarray(dU_on[:tr]))
+    assert np.abs(np.asarray(dU_off[tr]) - np.asarray(dU_on[tr])).max() > 0
+    # with all tracers in range the corrector is a no-op
+    P0[tr] = 0.7
+    Ppad = apply_bcs(jnp.asarray(P0), cfg, BoundaryData())
+    a, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2)
+    b, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2, scma=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
