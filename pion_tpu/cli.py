@@ -116,7 +116,35 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
     if name == "Uniform":
         from .ics.problems import uniform
 
-        return uniform(cfg, _ambient_from_params(cfg, params))
+        # reference: ics/basic_tests.cpp:150-310 setup_uniformgrid —
+        # UNIFORM_amb* ambient (B in Gauss -> /sqrt(4pi), NEW_B_NORM),
+        # optional isothermal-sphere core rho0/(1+(rc/r)^slope) + radial
+        # velocity about UNIFORM_core_centre
+        state = _ambient_from_params(cfg, params, prefix="UNIFORM_amb")
+        if cfg.eqn.is_mhd:
+            from .constants import BX as iBX
+
+            state[iBX:iBX + 3] /= np.sqrt(4.0 * np.pi)
+        P = uniform(cfg, state)
+        slope = float(params.get("UNIFORM_radial_slope", 0.0) or 0.0)
+        rc = float(params.get("UNIFORM_core_radius", 0.0) or 0.0)
+        rv = float(params.get("UNIFORM_radial_velocity", 0.0) or 0.0)
+        if slope != 0.0 and rc != 0.0:
+            cnames = ["XX", "YY", "ZZ"]
+            centre = [float(params.get(f"UNIFORM_core_centre_{cnames[i]}",
+                                       0.0) or 0.0)
+                      for i in range(cfg.ndim)]
+            axes = [np.asarray(cfg.cell_centers(a)) - centre[cfg.ndim - 1 - a]
+                    for a in range(cfg.ndim)]
+            mesh = np.meshgrid(*axes, indexing="ij")
+            d = np.sqrt(sum(m * m for m in mesh))
+            d = np.maximum(d, 1e-300)
+            fac = 1.0 / (1.0 + (rc / d) ** slope)
+            P[RO] *= fac
+            P[PG] *= fac
+            for a in range(cfg.ndim):
+                P[VX + (cfg.ndim - 1 - a)] = rv * mesh[a] / d
+        return P
     if name == "Advection":
         return gen.advection_pulse(cfg)
     if name == "AdvectSineWave":

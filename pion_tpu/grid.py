@@ -101,16 +101,21 @@ def make_geometry(cfg: SimConfig) -> Geometry:
             )
         )
 
-    # Cell volumes (interior), broadcastable over the grid shape.
+    # Cell volumes (interior), broadcastable over the grid shape.  Kept in
+    # float64 numpy regardless of cfg.dtype: cgs cylindrical volumes
+    # (~2 pi R dR dz ~ 1e52) overflow float32; consumers either stay on the
+    # host (conservation audits) or normalize to relative weights before
+    # casting (NG restriction).
+    dx64 = float(dx)
     if cfg.coords is Coord.CARTESIAN:
-        vol = np.full((1,) * cfg.ndim, dx**cfg.ndim, dtype=cfg.np_dtype)
+        vol = np.full((1,) * cfg.ndim, dx64**cfg.ndim, dtype=np.float64)
     elif cfg.coords is Coord.CYLINDRICAL:
         # V = pi*((R+)^2-(R-)^2)*dz (VectorOps.cpp:688-697), R = array axis 0
-        r = axes[0].pos[ng : ng + cfg.shape[0]]
-        v_r = np.pi * ((r + 0.5 * dx) ** 2 - (r - 0.5 * dx) ** 2) * dx
-        vol = v_r[:, None].astype(cfg.np_dtype)
+        r = axes[0].pos[ng : ng + cfg.shape[0]].astype(np.float64)
+        v_r = np.pi * ((r + 0.5 * dx64) ** 2 - (r - 0.5 * dx64) ** 2) * dx64
+        vol = v_r[:, None]
     else:  # spherical
-        r = axes[0].pos[ng : ng + cfg.shape[0]]
-        vol = (4.0 * np.pi / 3.0) * ((r + 0.5 * dx) ** 3 - (r - 0.5 * dx) ** 3)
-        vol = vol.astype(cfg.np_dtype)
+        r = axes[0].pos[ng : ng + cfg.shape[0]].astype(np.float64)
+        vol = (4.0 * np.pi / 3.0) * ((r + 0.5 * dx64) ** 3
+                                     - (r - 0.5 * dx64) ** 3)
     return Geometry(axes=tuple(axes), cell_volume=vol, dx=dx)

@@ -91,6 +91,8 @@ class NGHierarchy:
                  physics=None):
         if n_levels is None:
             n_levels = cfg0.nlevels
+        from .utils import ensure_precision
+        ensure_precision(cfg0)
         self.n_levels = n_levels
         self.cfg0 = cfg0
         self.centre = snap_ng_centre(cfg0)
@@ -268,7 +270,9 @@ class NGHierarchy:
         nd = cfg_f.ndim
         off = self.offs[level_f]
         Uf = prim_to_cons(Pf, cfg_f)
-        Vf = jnp.asarray(self.geoms[level_f].cell_volume)
+        # relative volume weights: absolute cgs volumes overflow float32
+        v64 = np.asarray(self.geoms[level_f].cell_volume, dtype=np.float64)
+        Vf = jnp.asarray((v64 / v64.max()).astype(cfg_f.np_dtype))
         W = Uf * Vf
         V = jnp.broadcast_to(Vf, Uf.shape[1:])
         for ax in range(nd):

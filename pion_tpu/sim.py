@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .boundaries import BoundaryData, make_fixed_strips
 from .config import SimConfig
 from .grid import Geometry, make_geometry
+from .utils import ensure_precision
 from .stepper import make_step_fns
 
 
@@ -47,6 +48,7 @@ class Simulation:
     log_freq: int = 0                  # per-step status line cadence
 
     def __post_init__(self):
+        ensure_precision(self.cfg)
         expect = (self.cfg.nvar,) + self.cfg.shape
         if tuple(self.P.shape) != expect:
             raise ValueError(

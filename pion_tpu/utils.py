@@ -107,3 +107,16 @@ class StepLogger:
             if not bool(jnp.all(jnp.isfinite(P))):
                 line += "   *** NON-FINITE STATE ***"
         print(line, flush=True)
+
+def ensure_precision(cfg):
+    """Enable jax x64 when the config asks for float64.
+
+    Without this a ``dtype=float64`` run silently executes in float32
+    (JAX's default), which both loses the reference's double precision and
+    overflows cgs quantities (cylindrical cell volumes ~1e52).  Safe to
+    flip at construction time: arrays made afterwards get the full width.
+    """
+    import jax
+
+    if getattr(cfg, "dtype", None) == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)

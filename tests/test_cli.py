@@ -257,3 +257,28 @@ def test_restart_preserves_physics(tmp_path):
     assert type(sim2.physics.mp).__name__ == type(sim.physics.mp).__name__
     sim2.step()
     assert np.all(np.isfinite(np.asarray(sim2.P)))
+
+
+def test_wind2d_cylindrical_ng_runs(tmp_path):
+    """The Wind2D flagship config (cylindrical, 3 NG levels, stellar wind,
+    `ics Uniform` with UNIFORM_amb* ambient) icgens and runs finite through
+    the CLI — regression for the UNIFORM_amb prefix being ignored and for
+    cgs cylindrical cell volumes overflowing float32 in the NG restriction
+    (reference: ics/basic_tests.cpp:150-310, test_problems/Wind2D)."""
+    from pion_tpu.constants import RO as iRO, VX as iVX
+
+    pf = "/root/reference/test_problems/Wind2D/params_ResStudy_HD_l3n0128.txt"
+    snap = icgen_main([pf, "NGridX=16", "NGridY=16",
+                       f"OutputPath={tmp_path}", "OutputFile=w2d"])
+    import numpy as np
+
+    from pion_tpu.io.snapshot import load_snapshot_raw
+    cfg, P, _t, _s, extra = load_snapshot_raw(snap)
+    assert cfg.nlevels == 3 and P.shape[0] == 3
+    # UNIFORM_amb* actually reached the generator
+    np.testing.assert_allclose(P[0][iRO], 7.0e-24)
+    np.testing.assert_allclose(P[0][iVX], -25.0e5)
+    sim = run_main([snap, "max_steps=6", "log_freq=0"])
+    for l in range(3):
+        assert np.all(np.isfinite(np.asarray(sim.P[l]))), f"level {l}"
+    assert sim.t > 0
