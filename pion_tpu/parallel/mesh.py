@@ -47,8 +47,37 @@ def decompose(n_devices: int, ndim: int, shape: Sequence[int]) -> Tuple[int, ...
     return tuple(factors)
 
 
+def _split_dcn(factors, nproc):
+    """Factor the per-axis shard counts into (hosts, per-host) so the
+    slowest axes cross hosts: halo exchange is nearest-neighbour on the
+    mesh, so intra-host neighbours ride ICI and only the outermost slabs
+    cross DCN (the scaling-critical layout for >= 2 hosts)."""
+    import math
+
+    dcn = [1] * len(factors)
+    ici = list(factors)
+    rem = nproc
+    for ax in range(len(factors)):
+        g = math.gcd(ici[ax], rem)
+        dcn[ax] = g
+        ici[ax] //= g
+        rem //= g
+        if rem == 1:
+            break
+    return (dcn, ici) if rem == 1 else None
+
+
 def make_mesh(cfg: SimConfig, n_devices: Optional[int] = None,
               devices=None) -> Mesh:
+    """Build the spatial device mesh.
+
+    When all local devices are used, device placement is delegated to
+    ``mesh_utils`` so mesh-adjacent shards sit on ICI-adjacent chips
+    (single host: ``create_device_mesh``; multi-host:
+    ``create_hybrid_device_mesh`` with the slowest axes across DCN).
+    Explicit ``devices``/``n_devices`` subsets fall back to a plain
+    reshape (used by tests on virtual-device subsets)."""
+    explicit = devices is not None or n_devices is not None
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
@@ -56,7 +85,24 @@ def make_mesh(cfg: SimConfig, n_devices: Optional[int] = None,
     n = len(devices)
     factors = decompose(n, cfg.ndim, cfg.shape)
     names = AXIS_NAMES[-cfg.ndim:]
-    dev_array = np.array(devices).reshape(factors)
+    dev_array = None
+    if not explicit:
+        from jax.experimental import mesh_utils
+
+        try:
+            if jax.process_count() > 1:
+                split = _split_dcn(factors, jax.process_count())
+                if split is not None:
+                    dcn, ici = split
+                    dev_array = mesh_utils.create_hybrid_device_mesh(
+                        ici, dcn, devices=devices)
+            if dev_array is None:
+                dev_array = mesh_utils.create_device_mesh(
+                    factors, devices=devices)
+        except (ValueError, NotImplementedError):
+            dev_array = None  # unusual topology: fall back to reshape
+    if dev_array is None:
+        dev_array = np.array(devices).reshape(factors)
     return Mesh(dev_array, names)
 
 
