@@ -129,7 +129,11 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
         slope = float(params.get("UNIFORM_radial_slope", 0.0) or 0.0)
         rc = float(params.get("UNIFORM_core_radius", 0.0) or 0.0)
         rv = float(params.get("UNIFORM_radial_velocity", 0.0) or 0.0)
-        if slope != 0.0 and rc != 0.0:
+        # reference applies the core whenever the params are present and the
+        # slope is nonzero — rc==0 still applies the radial velocity (the
+        # density factor then reduces to 1), and all 3 velocity slots are
+        # set (out-of-plane components are 0 since dpos-centre vanishes)
+        if slope != 0.0 and "UNIFORM_core_radius" in params:
             cnames = ["XX", "YY", "ZZ"]
             centre = [float(params.get(f"UNIFORM_core_centre_{cnames[i]}",
                                        0.0) or 0.0)
@@ -139,9 +143,12 @@ def build_ics(cfg: SimConfig, params: Dict[str, str]) -> np.ndarray:
             mesh = np.meshgrid(*axes, indexing="ij")
             d = np.sqrt(sum(m * m for m in mesh))
             d = np.maximum(d, 1e-300)
-            fac = 1.0 / (1.0 + (rc / d) ** slope)
-            P[RO] *= fac
-            P[PG] *= fac
+            if rc != 0.0:
+                fac = 1.0 / (1.0 + (rc / d) ** slope)
+                P[RO] *= fac
+                P[PG] *= fac
+            for k in range(3):
+                P[VX + k] = 0.0
             for a in range(cfg.ndim):
                 P[VX + (cfg.ndim - 1 - a)] = rv * mesh[a] / d
         return P

@@ -174,8 +174,15 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         else:
             flux_r, ustar = rm.linear(Pl_r, Pr_r, cfg)
         if cfg.av is AV.FALLE:
-            inv_rho = 1.0 / ustar[RO]
-            pstar = _upd(ustar, {VX: ustar[VX] * inv_rho,
+            # floor the mid-state density like cons_to_prim does on the XLA
+            # path (near-vacuum f32 states otherwise give inf velocities)
+            from .eqns import BASE_RHO
+
+            rho_s = jnp.where(ustar[RO] > 0.0, ustar[RO],
+                              BASE_RHO * cfg.rho_ref)
+            inv_rho = 1.0 / rho_s
+            pstar = _upd(ustar, {RO: rho_s,
+                                 VX: ustar[VX] * inv_rho,
                                  VY: ustar[VY] * inv_rho,
                                  VZ: ustar[VZ] * inv_rho})
         else:

@@ -73,7 +73,8 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
                     interpret=interp)
             dU = pallas_sweep.dynamics_dU_pallas(
                 Ppad, cfg, geom, dt, order_space, ch=ch,
-                interpret=interp, scma=physics.mp is not None)
+                interpret=interp,
+                scma=(physics is not None and physics.mp is not None))
     if dU is None:
         dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch,
                                  scma=(physics is not None

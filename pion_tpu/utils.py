@@ -113,10 +113,24 @@ def ensure_precision(cfg):
 
     Without this a ``dtype=float64`` run silently executes in float32
     (JAX's default), which both loses the reference's double precision and
-    overflows cgs quantities (cylindrical cell volumes ~1e52).  Safe to
-    flip at construction time: arrays made afterwards get the full width.
+    overflows cgs quantities (cylindrical cell volumes ~1e52).  The flip is
+    one-way and process-global: construct float64 sims FIRST — arrays made
+    before the flip are already truncated, and later float32 sims in the
+    same process run with x64 promotion rules.  A warning fires when the
+    flag flips after JAX has already been used.
     """
     import jax
 
     if getattr(cfg, "dtype", None) == "float64" and not jax.config.jax_enable_x64:
+        import jax._src.core as _core
+
+        if getattr(_core, "trace_state_clean", lambda: True)() is False or \
+                jax.live_arrays():
+            import warnings
+
+            warnings.warn(
+                "enabling jax_enable_x64 after JAX arrays exist: arrays "
+                "created before this Simulation are already float32-"
+                "truncated; construct float64 sims first",
+                RuntimeWarning, stacklevel=3)
         jax.config.update("jax_enable_x64", True)
