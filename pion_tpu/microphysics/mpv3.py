@@ -152,8 +152,43 @@ class MPv3:
             for nm in ("pi_rate", "pi_heat", "lt_pi_rate", "lt_pi_heat"):
                 pt[nm] = pt[nm] - self.rate_scale_log
             t.update(pt)
+            # stacked (NTAU, 4) photoion table: one row gather serves all
+            # four curves (hot-loop cost; see _tau_lookup)
+            t["tau_stack"] = np.stack(
+                [t["pi_rate"], t["pi_heat"],
+                 t["lt_pi_rate"], t["lt_pi_heat"]], axis=-1)
+            lg = t["log_tau"]
+            self._ltau0 = float(lg[0])
+            self._inv_dltau = float((len(lg) - 1) / (lg[-1] - lg[0]))
+            self._n_tau = len(lg)
         else:
             self.rate_scale_log = 0.0
+        # -- stacked hot-loop tables -------------------------------------
+        # ydot runs up to ~1e3 times per step inside the stiff Newton
+        # ladder; individual searchsorted lookups per curve dominate the
+        # coupled-step cost.  All grids are log-uniform, so the bin index
+        # is arithmetic (no binary search) and every 1D curve comes from
+        # ONE pair of row gathers on a (NT, 1+K) stack whose column 0 is
+        # the T grid itself (for exact linear-in-T interpolation identical
+        # to the reference's table scheme, MPv3.cpp:1655-1676).
+        self._t1_names = ("cirh", "C_cih0", "rrhp", "C_rrh", "C_ffhe",
+                          "C_cxh0", "C_fbdn", "C_cie", "C_cxch", "C_cxo")
+        t["t1_stack"] = np.stack([T] + [t[k] for k in self._t1_names],
+                                 axis=-1)
+        # augmented stack for the TPU one-hot path: row i carries BOTH
+        # interpolation endpoints so a single one-hot matmul fetches them
+        # (row NT-1 duplicated; indices are clipped to NT-2)
+        t["t1_aug"] = np.concatenate(
+            [t["t1_stack"],
+             np.concatenate([t["t1_stack"][1:], t["t1_stack"][-1:]])],
+            axis=-1)
+        # 2D (T, ne) tables: one (NT*NE, 3) flat stack, plane interpolation
+        # from 3 corner row gathers (reference: MPv3.cpp:1817)
+        self._lt0 = float(np.log10(T[0]))
+        self._inv_dlt = float((NT - 1) / (np.log10(T[-1]) - np.log10(T[0])))
+        self._lne0 = float(np.log10(ne[0]))
+        self._inv_dlne = float((NT - 1) /
+                               (np.log10(ne[-1]) - np.log10(ne[0])))
         self.tab = {k: jnp.asarray(v) for k, v in t.items()
                     if isinstance(v, np.ndarray)}
         self.tau_bounds = (1.0e-3, 1.0e6)
@@ -179,6 +214,73 @@ class MPv3:
         x = P[self.mpc.tracer_slot]
         return P.at[PG].set(self.n_tot(nH, x) * K_B * T)
 
+    # -- fused table lookups (hot loop; see _build_tables) -----------------
+    def _t1_lookup(self, Tc):
+        """All 1D temperature curves in one fused lookup.
+
+        On TPU the two row fetches are one-hot matmuls (exact: the one-hot
+        row picks a single table entry), which run on the MXU ~3x faster
+        than XLA's dynamic gather; on CPU a plain row gather is faster.
+        Returns (dict of curve values, iT, Tg[iT], Tg[iT+1])."""
+        tb = self.tab
+        nt = self.mpc.n_table
+        f = (jnp.log10(Tc) - self._lt0) * self._inv_dlt
+        i = jnp.clip(f.astype(jnp.int32), 0, nt - 2)
+        if jax.default_backend() in ("tpu", "axon"):
+            flat = i.ravel()
+            m = tb["t1_stack"].shape[-1]
+            oh = jax.nn.one_hot(flat, nt, dtype=Tc.dtype)
+            both = (oh @ tb["t1_aug"]).reshape(i.shape + (2 * m,))
+            lo = both[..., :m]
+            hi = both[..., m:]
+        else:
+            lo = tb["t1_stack"][i]      # (..., 1+K)
+            hi = tb["t1_stack"][i + 1]
+        Tgi = lo[..., 0]
+        Tgi1 = hi[..., 0]
+        w = ((Tc - Tgi) / (Tgi1 - Tgi))[..., None]
+        vals = lo[..., 1:] + w * (hi[..., 1:] - lo[..., 1:])
+        out = {nm: vals[..., k] for k, nm in enumerate(self._t1_names)}
+        return out, i, Tgi, Tgi1
+
+    def _t2_eval(self, Tc, ne):
+        """The 2D (T, ne) heating/cooling terms evaluated directly from the
+        Wolfire+ (2003) closed forms the reference tabulates
+        (reference builds 2D lookup tables from these same expressions and
+        plane-interpolates at runtime, MPv3.cpp:1817; direct evaluation is
+        the same physics minus the interpolation error, and is pure
+        elementwise VPU work instead of 3 corner gathers per table)."""
+        Z = self.mpc.metallicity
+        lnT = jnp.log(Tc)
+        sqT = jnp.sqrt(Tc)
+        H_pah = 1.083e-25 * Z / (1.0 + 9.77e-3 * (sqT / ne) ** 0.73)
+        C_pah = 3.02e-30 * Z * jnp.exp(
+            0.94 * lnT + 0.74 * Tc ** (-0.068) * jnp.log(3.4 * sqT / ne)
+        ) * ne
+        C_cxce = (1.4e-23 * Z * jnp.exp(-0.5 * lnT - 92.0 / Tc)
+                  * ne / (1.0 + 0.05 * ne * (Tc / 2000.0) ** (-0.37)))
+        return {"H_pah": H_pah, "C_pah": C_pah, "C_cxce": C_cxce}
+
+    def _tau_lookup(self, tau0, dtau_cur):
+        """Photoion rate/heat at tau0, tau0+dtau and the low-tau slopes —
+        3 row gathers x 2 (interpolation pairs) on the (NTAU, 4) stack."""
+        tb = self.tab
+        tmin, tmax = self.tau_bounds
+
+        def rows(tau):
+            lt = jnp.log10(jnp.clip(tau, tmin, tmax))
+            f = (lt - self._ltau0) * self._inv_dltau
+            i = jnp.clip(f.astype(jnp.int32), 0, self._n_tau - 2)
+            w = (f - i.astype(f.dtype))[..., None]
+            lo = tb["tau_stack"][i]
+            hi = tb["tau_stack"][i + 1]
+            v = lo + jnp.clip(w, 0.0, 1.0) * (hi - lo)
+            return jnp.exp(TB.LOGTEN * v)
+
+        r0 = rows(tau0)
+        r1 = rows(tau0 + dtau_cur)
+        return r0, r1
+
     # -- the ODE right-hand side (reference: MPv3.cpp:1619-1936) -----------
     def ydot(self, one_minus_x, Eint, nH, rt: Dict):
         c = self.mpc
@@ -190,11 +292,11 @@ class MPv3:
         ne = c.n_elec * x * nH + nH * 1.5e-4 * c.metallicity * expnh
 
         tb = self.tab
-        Tg = tb["T"]
-        neg = tb["ne"]
+        t1, iT, Tgi, Tgi1 = self._t1_lookup(Tc)
+        t2 = self._t2_eval(Tc, ne)
 
         def f1(name):
-            return _interp1(Tg, tb[name], Tc)
+            return t1[name]
 
         omx_dot = jnp.zeros_like(omx)
         Edot = jnp.zeros_like(Eint)
@@ -223,24 +325,18 @@ class MPv3:
                 omx_dot -= rate
                 Edot += rate * E_EXCESS
             else:  # mfion (reference: Hi_discrete_multifreq_* :101-155)
-                lg = tb["log_tau"]
-                tmin, tmax = self.tau_bounds
                 # tables are peak-normalized (see _build_tables); sv restores
                 # the scale divided by Vshell, f32-safe
                 sv = rt.get("sv", None)
                 if sv is None:
                     sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) / vshell
 
-                def lookup(name, tau):
-                    t_ = jnp.clip(tau, tmin, tmax)
-                    return jnp.exp(TB.LOGTEN * _interp1(lg, tb[name],
-                                                        jnp.log10(t_)))
-
-                big = lookup("pi_rate", tau0) - lookup("pi_rate", tau0 + dtau_cur)
-                small = lookup("lt_pi_rate", tau0) * dtau_cur / (SIGMA0 * nH)
+                r0, r1 = self._tau_lookup(tau0, dtau_cur)
+                big = r0[..., 0] - r1[..., 0]
+                small = r0[..., 2] * dtau_cur / (SIGMA0 * nH)
                 pir = jnp.where(dtau_cur < 0.01, small, big) * sv / nH
-                bigh = lookup("pi_heat", tau0) - lookup("pi_heat", tau0 + dtau_cur)
-                smallh = lookup("lt_pi_heat", tau0) * dtau_cur / (SIGMA0 * nH)
+                bigh = r0[..., 1] - r1[..., 1]
+                smallh = r0[..., 3] * dtau_cur / (SIGMA0 * nH)
                 pih = jnp.where(dtau_cur < 0.01, smallh, bigh) * sv / nH
                 omx_dot -= pir
                 Edot += pih
@@ -265,12 +361,12 @@ class MPv3:
         omx_dot -= 1.8e-17 * omx
 
         # PAH heating (2D table)
-        Edot += omx * _interp2(Tg, neg, tb["H_pah"], Tc, ne)
+        Edot += omx * t2["H_pah"]
 
         # metal cooling: max(forbidden-line, CIE + CII-e)
         fbdn = f1("C_fbdn") * x * ne
         cie = f1("C_cie") * x * x * nH
-        cie = cie + _interp2(Tg, neg, tb["C_cxce"], Tc, ne)
+        cie = cie + t2["C_cxce"]
         Edot -= jnp.maximum(fbdn, cie)
 
         # CII/OI cooling by neutral H collisions (Wolfire+03 eq C1/C3)
@@ -278,7 +374,7 @@ class MPv3:
         Edot -= f1("C_cxo") * nH * omx
 
         # PAH cooling
-        Edot -= _interp2(Tg, neg, tb["C_pah"], Tc, ne)
+        Edot -= t2["C_pah"]
 
         Edot = Edot * nH
         # limit cooling near the temperature floor (reference: :1888-1890)
@@ -320,12 +416,16 @@ class MPv3:
 
         def newton_step(y, y_prev):
             omx, E = y
-            f0, f1v = rhs(omx, E)
-            # Jacobian columns via JVP (exact, per-cell 2x2)
-            (j00, j10) = jax.jvp(lambda a: rhs(a, E), (omx,),
-                                 (jnp.ones_like(omx),))[1]
-            (j01, j11) = jax.jvp(lambda b: rhs(omx, b), (E,),
-                                 (jnp.ones_like(E),))[1]
+            # Jacobian columns via linearize: ONE primal ydot evaluation
+            # (with its table gathers) + two linear-only passes, instead of
+            # three full evaluations (exact per-cell 2x2, like the JVPs)
+            (f0, f1v), lin = jax.linearize(rhs, omx, E)
+            one_o = jnp.ones_like(omx)
+            zero_o = jnp.zeros_like(omx)
+            one_e = jnp.ones_like(E)
+            zero_e = jnp.zeros_like(E)
+            (j00, j10) = lin(one_o, zero_e)
+            (j01, j11) = lin(zero_o, one_e)
             # g(y) = y - y_prev - h*f(y);  J_g = I - h*J_f
             g0 = omx - y_prev[0] - h * f0
             g1 = E - y_prev[1] - h * f1v
@@ -343,11 +443,16 @@ class MPv3:
             E_n = jnp.maximum(E - d_E, 1.0e-10 * y_prev[1])
             return (omx_n, E_n)
 
+        # convergence tolerance tracks the working precision: 1e-11 is
+        # below f32 resolution and would force every Newton loop to the
+        # n_newton cap on TPU
+        tol = 1.0e-11 if E0.dtype == jnp.float64 else 1.0e-6
+
         def newton_converged(y, y_prev):
             """Newton to convergence (or n_newton), global max criterion."""
             def cond(st):
                 _y, i, err = st
-                return (i < n_newton) & (err > 1.0e-11)
+                return (i < n_newton) & (err > tol)
 
             def body(st):
                 y_c, i, _err = st
@@ -416,9 +521,53 @@ class MPv3:
             return self._stiff_solve(omx_a, E_a, nH_a, rt_a, dt,
                                      stiffness=stiffness)
 
-        omx_st, E_st = jax.lax.cond(
-            jnp.any(~use_euler), run_stiff, lambda args: (args[0], args[1]),
-            (omx, Eint, nH, rt))
+        # stiff-cell compaction: the cells past the Euler cutoff are
+        # typically a thin shell (the ionization front) — a few % of the
+        # grid.  Gather them into a fixed-capacity buffer, run the Newton
+        # ladder on the small array, scatter back; fall back to the
+        # full-grid ladder if the stiff set overflows the buffer.  (The
+        # reference gets the same effect per cell from the CVODE-vs-Euler
+        # branch, MPv3.cpp:1146-1235; a dense SIMD ladder must compact
+        # explicitly to avoid paying the stiff cost on every cell.)
+        ncell = int(np.prod(omx.shape))
+        cap = min(ncell, max(4096, ncell // 8))
+        if cap >= ncell:
+            omx_st, E_st = jax.lax.cond(
+                jnp.any(~use_euler), run_stiff,
+                lambda args: (args[0], args[1]), (omx, Eint, nH, rt))
+        else:
+            stiff_flat = (~use_euler).ravel()
+            grid_shape = omx.shape
+
+            def run_compact(args):
+                omx_a, E_a, nH_a, rt_a = args
+                (idx,) = jnp.nonzero(stiff_flat, size=cap, fill_value=ncell)
+                gidx = jnp.minimum(idx, ncell - 1)  # in-bounds gather; the
+                # padded lanes integrate a duplicate of the last cell and
+                # are dropped at the scatter below
+
+                def sub(a):
+                    return a.ravel()[gidx]
+
+                rt_sub = {
+                    k: (sub(v) if hasattr(v, "shape")
+                        and tuple(getattr(v, "shape", ())) == grid_shape
+                        else v)
+                    for k, v in rt_a.items()
+                }
+                o1, e1 = self._stiff_solve(sub(omx_a), sub(E_a), sub(nH_a),
+                                           rt_sub, dt, stiffness=stiffness)
+                o_out = omx_a.ravel().at[idx].set(o1, mode="drop")
+                e_out = E_a.ravel().at[idx].set(e1, mode="drop")
+                return (o_out.reshape(grid_shape), e_out.reshape(grid_shape))
+
+            n_stiff = jnp.sum(stiff_flat)
+            omx_st, E_st = jax.lax.cond(
+                n_stiff > cap, run_stiff,
+                lambda args: jax.lax.cond(
+                    n_stiff > 0, run_compact,
+                    lambda a: (a[0], a[1]), args),
+                (omx, Eint, nH, rt))
         omx1 = jnp.where(use_euler, omx_eul, omx_st)
         E1 = jnp.where(use_euler, E_eul, E_st)
 

@@ -34,6 +34,14 @@ class Physics:
     winds: List = dataclasses.field(default_factory=list)
 
     def setup(self, cfg: SimConfig, geom: Geometry):
+        n_ion = sum(1 for s in self.sources if s.effect in ("mono", "mfion"))
+        if n_ion > 1:
+            # the rt dict carries ONE ionizing-source column set; a second
+            # would silently overwrite the first (reference supports
+            # per-source column slots, rad_src_data.h:27-76 — not yet here)
+            raise NotImplementedError(
+                f"{n_ion} ionizing sources configured; only one ionizing "
+                "(mono/mfion) source is supported per run")
         if self.sources and self.raytracer is None:
             self.raytracer = Raytracer(cfg, geom, self.sources)
         if self.wind_sources and not self.winds:
@@ -150,19 +158,24 @@ class Physics:
         rt["g0_ir"] = (g0_ir / 1.2e7) if g0_ir is not None else z
         return rt
 
-    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig, tau_in=None):
+    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig, tau_in=None, rt=None):
         """Conserved-variable increment from the chemistry update
         (reference: calc_RT_microphysics_dU — dU += U(p_out)-U(p_in),
-        time_integrator.cpp:430-497; base state is P, columns from Ph)."""
+        time_integrator.cpp:430-497; base state is P, columns from Ph).
+        ``rt``: optionally reuse a column set already traced through Ph —
+        the reference likewise raytraces once per partial update
+        (time_integrator.cpp:206-243) and hands the stored columns to MP."""
         from .ops.eqns import prim_to_cons
 
-        rt = self.raytrace(Ph, tau_in) if self.sources else None
+        if rt is None:
+            rt = self.raytrace(Ph, tau_in) if self.sources else None
         P_new = (self.mp._update_impl(P, dt, cfg, rt) if rt is not None
                  else self.mp._update_impl(P, dt, cfg, self.mp.default_rt(P)))
         return prim_to_cons(P_new, cfg) - prim_to_cons(P, cfg)
 
-    def timescale(self, P, cfg: SimConfig, tau_in=None):
-        rt = self.raytrace(P, tau_in) if self.sources else None
+    def timescale(self, P, cfg: SimConfig, tau_in=None, rt=None):
+        if rt is None:
+            rt = self.raytrace(P, tau_in) if self.sources else None
         if rt is None:
             rt = self.mp.default_rt(P)
         return self.mp._timescales_impl(P, cfg, rt)

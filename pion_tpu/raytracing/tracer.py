@@ -207,15 +207,27 @@ class PointSourceTracer:
         self.shell_idx = jnp.asarray(shell_idx)
         self.shell_mask = jnp.asarray(shell_idx >= 0)
 
-        # flatten static per-cell arrays for gathering inside the scan
-        self._c1 = jnp.asarray(self.c1.ravel().astype(np.int32))
-        self._c2 = jnp.asarray(self.c2.ravel().astype(np.int32)) if nd >= 2 else None
-        self._c3 = jnp.asarray(self.c3.ravel().astype(np.int32)) if nd == 3 else None
-        self._c4 = jnp.asarray(self.c4.ravel().astype(np.int32)) if nd == 3 else None
-        self._delta0 = jnp.asarray(np.asarray(self.delta0).ravel()) if nd >= 2 else None
-        self._delta1 = jnp.asarray(self.delta1.ravel()) if nd == 3 else None
-        self._on_axis = jnp.asarray(on_axis.ravel())
-        self._axis_corr = jnp.asarray(self.axis_corr.ravel())
+        # pre-order ALL static per-cell data by (shell, slot) at setup, so
+        # the scan consumes contiguous xs slices instead of paying a
+        # dynamic gather per array per step (TPU gathers run ~20M elem/s;
+        # the packed layout leaves only the unavoidable dynamic ones:
+        # 1-4 column gathers + the dtau gather + the scatter)
+        safe_np = np.where(shell_idx >= 0, shell_idx, 0)
+
+        def pack_i(a):
+            return jnp.asarray(a.ravel().astype(np.int32)[safe_np])
+
+        def pack_f(a):
+            return jnp.asarray(np.asarray(a).ravel()[safe_np])
+
+        self._c1s = pack_i(self.c1)
+        self._c2s = pack_i(self.c2) if nd >= 2 else None
+        self._c3s = pack_i(self.c3) if nd == 3 else None
+        self._c4s = pack_i(self.c4) if nd == 3 else None
+        self._d0s = pack_f(self.delta0) if nd >= 2 else None
+        self._d1s = pack_f(self.delta1) if nd == 3 else None
+        self._oas = jnp.asarray(on_axis.ravel()[safe_np])
+        self._corrs = pack_f(self.axis_corr)
 
     def trace(self, dtau: jnp.ndarray):
         """Run the shell scan.  ``dtau``: per-cell optical depth increment.
@@ -228,24 +240,37 @@ class PointSourceTracer:
         col0 = jnp.zeros(ncell + 1, dtype=dtau_f.dtype)
         tmin = self.tau_min
 
+        if nd == 1:
+            xs = (self.shell_idx, self.shell_mask, self._c1s,
+                  self._oas, self._corrs)
+        elif nd == 2:
+            xs = (self.shell_idx, self.shell_mask, self._c1s, self._c2s,
+                  self._d0s, self._oas, self._corrs)
+        else:
+            xs = (self.shell_idx, self.shell_mask, self._c1s, self._c2s,
+                  self._c3s, self._c4s, self._d0s, self._d1s,
+                  self._oas, self._corrs)
+
         def shell_step(col, args):
-            idx, mask = args
+            if nd == 1:
+                idx, mask, i1, oa, corr = args
+            elif nd == 2:
+                idx, mask, i1, i2, d0, oa, corr = args
+            else:
+                idx, mask, i1, i2, i3, i4, d0, d1, oa, corr = args
             safe = jnp.where(idx >= 0, idx, 0)
-            c1 = col[self._c1[safe]]
+            c1 = col[i1]
             if nd == 1:
                 tau_in = c1
             elif nd == 2:
-                c2 = col[self._c2[safe]]
-                d0 = self._delta0[safe]
+                c2 = col[i2]
                 w1 = (1.0 - d0) / jnp.maximum(tmin, c1)
                 w2 = d0 / jnp.maximum(tmin, c2)
                 tau_in = (w1 * c1 + w2 * c2) / (w1 + w2)
             else:
-                c2 = col[self._c2[safe]]
-                c3 = col[self._c3[safe]]
-                c4 = col[self._c4[safe]]
-                d0 = self._delta0[safe]
-                d1 = self._delta1[safe]
+                c2 = col[i2]
+                c3 = col[i3]
+                c4 = col[i4]
                 w1 = (1.0 - d0) * (1.0 - d1) / jnp.maximum(tmin, c1)
                 w2 = d0 * (1.0 - d1) / jnp.maximum(tmin, c2)
                 w3 = (1.0 - d0) * d1 / jnp.maximum(tmin, c3)
@@ -253,15 +278,13 @@ class PointSourceTracer:
                 tau_in = (w1 * c1 + w2 * c2 + w3 * c3 + w4 * c4) / (
                     w1 + w2 + w3 + w4)
             # on-axis cells: entry neighbor's column with geometric factor
-            tau_in = jnp.where(self._on_axis[safe],
-                               c1 * self._axis_corr[safe], tau_in)
+            tau_in = jnp.where(oa, c1 * corr, tau_in)
             new_col = tau_in + dtau_f[safe]
             target = jnp.where(mask, safe, ncell)
             col = col.at[target].set(new_col, mode="drop")
             return col, None
 
-        col, _ = jax.lax.scan(
-            shell_step, col0, (self.shell_idx, self.shell_mask))
+        col, _ = jax.lax.scan(shell_step, col0, xs)
         tau_entry = col[:ncell] - dtau_f
         return tau_entry.reshape(dtau.shape)
 

@@ -125,8 +125,10 @@ class Simulation:
             return
         if self.opfreq and self.step_count % self.opfreq == 0:
             self.save(wait=False)
-        if self.opfreq_time > 0.0 and self.t >= self._next_optime:
-            while self._next_optime <= self.t:
+        # tolerance catches exact-landing steps that round a ulp short
+        tol = 1.0e-12 * max(abs(self._next_optime), self.opfreq_time)
+        if self.opfreq_time > 0.0 and self.t >= self._next_optime - tol:
+            while self._next_optime - tol <= self.t:
                 self._next_optime += self.opfreq_time
             self.save(wait=False)
         if self.checkpoint_freq and self.step_count % self.checkpoint_freq == 0:
@@ -136,19 +138,39 @@ class Simulation:
             self.save(f"{self.outfile}.{suffix}", wait=False)
 
     # -- dt policy (reference: calc_timestep.cpp:219-260) ------------------
+    def _dt_cap(self) -> float:
+        """Host-side dt ceiling: end time and the next timed-output instant
+        (reference: timestep_checking_and_limiting clamps dt to
+        next_optime-simtime then finishtime-simtime, calc_timestep.cpp:243-252
+        — so opfreq_time snapshots land exactly on cadence)."""
+        tmax = getattr(self, "_tmax", None) or self.cfg.tmax
+        cap = tmax - self.t
+        if self.opfreq_time > 0.0 and self.outfile is not None:
+            to_next = self._next_optime - self.t
+            # fp guard: if we are within rounding of the output instant,
+            # aim for the one after rather than taking a ~0 step
+            tol = 1.0e-12 * max(abs(self._next_optime), self.opfreq_time)
+            if to_next <= tol:
+                to_next += self.opfreq_time
+            cap = min(cap, to_next)
+        return cap
+
     def compute_dt(self) -> float:
         dt = float(self.fns.calc_dt(self.P))
         if self.last_dt > 0.0:
             dt = min(dt, self.cfg.max_dt_growth * self.last_dt)
-        tmax = getattr(self, "_tmax", None) or self.cfg.tmax
-        dt = min(dt, tmax - self.t)
+        dt = min(dt, self._dt_cap())
         if dt < self.cfg.min_timestep:
             raise RuntimeError(f"timestep too small: {dt}")
         return dt
 
     def step(self) -> float:
-        dt = self.compute_dt()
-        self.P = self.fns.advance(self.P, dt, self.t)
+        Pn, dt, dt_raw = self.fns.step(self.P, self.t, self.last_dt,
+                                       self._dt_cap())
+        dt = float(dt)
+        if float(dt_raw) < self.cfg.min_timestep:
+            raise RuntimeError(f"timestep too small: {float(dt_raw)}")
+        self.P = Pn
         self.t += dt
         self.last_dt = dt
         self.step_count += 1

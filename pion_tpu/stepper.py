@@ -42,7 +42,7 @@ def glm_psi_damp(P, dt, ch, cfg: SimConfig, geom: Geometry):
 
 
 def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
-                    physics=None, t=0.0):
+                    physics=None, t=0.0, rt=None):
     """One flux update: dU from Ph, applied on top of P.
 
     Chemistry contributes a conserved increment computed from P with columns
@@ -80,7 +80,7 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
                                  scma=(physics is not None
                                        and physics.mp is not None))
     if physics is not None and physics.mp is not None:
-        dU = dU + physics.mp_delta_U(P, Ph, dt, cfg)
+        dU = dU + physics.mp_delta_U(P, Ph, dt, cfg, rt=rt)
     if cfg.conduction:
         from .constants import K_B, M_P, RO as _RO, PG as _PG
         from .ops.conduction import conduction_Edot
@@ -108,24 +108,29 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
 
 def advance(P, dt, cfg: SimConfig, geom: Geometry,
             bdata: Optional[BoundaryData] = None, ch=None, physics=None,
-            t=0.0):
+            t=0.0, rt0=None):
     """Advance one full step of size dt; returns the new state.
 
     OA1: single 1st-order update (reference: time_integrator.cpp:80-97).
     OA2: half-step predictor (1st-order space) then full corrector
     (2nd-order space) (reference: time_integrator.cpp:99-124).
+    ``rt0``: radiation columns already traced through P (the predictor's
+    Ph), e.g. shared with the dt computation in the fused step.
     """
     if cfg.eqn is Eqn.GLM and ch is None:
         ch = cfg.cfl * geom.dx / dt
     if cfg.ooa == 1:
-        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch, physics, t)
-    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch, physics, t)
+        return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch, physics, t,
+                               rt=rt0)
+    Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch, physics, t,
+                         rt=rt0)
     return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch, physics, t)
 
 
 class StepFns(NamedTuple):
     advance: callable   # (P, dt) -> P_new
     calc_dt: callable   # (P,) -> scalar dynamical dt
+    step: callable      # (P, t, last_dt, dt_cap) -> (P_new, dt, dt_raw)
 
 
 def make_step_fns(cfg: SimConfig, geom: Geometry,
@@ -133,17 +138,12 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
                   physics=None) -> StepFns:
     """Build jitted advance/dt functions with config closed over."""
 
-    @jax.jit
-    def _advance(P, dt, t=0.0):
-        return advance(P, dt, cfg, geom, bdata, physics=physics, t=t)
-
-    @jax.jit
-    def _calc_dt(P):
+    def _dt_expr(P, rt0=None):
         dt = dynamics_dt(P, cfg, geom)
         if physics is not None and physics.dt_limit and physics.mp is not None:
             # chemistry/cooling dt limit (reference: calc_timestep.cpp:342
             # calc_microphysics_dt with MP_timestep_limit)
-            dt = jnp.minimum(dt, physics.timescale(P, cfg))
+            dt = jnp.minimum(dt, physics.timescale(P, cfg, rt=rt0))
         if cfg.conduction:
             from .constants import K_B, M_P, RO as _RO, PG as _PG
             from .ops.conduction import conduction_Edot, conduction_dt
@@ -157,4 +157,34 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
             dt = jnp.minimum(dt, conduction_dt(P, Edot, cfg))
         return dt
 
-    return StepFns(advance=_advance, calc_dt=_calc_dt)
+    @jax.jit
+    def _advance(P, dt, t=0.0):
+        return advance(P, dt, cfg, geom, bdata, physics=physics, t=t)
+
+    @jax.jit
+    def _calc_dt(P):
+        return _dt_expr(P)
+
+    @jax.jit
+    def _step(P, t, last_dt, dt_cap):
+        """Fused dt + advance: ONE compiled program per step, and the
+        radiation columns through P are traced ONCE and shared between the
+        chemistry dt limit and the predictor partial update (the reference
+        also raytraces once per partial update, not once per consumer —
+        time_integrator.cpp:206-243).  dt clamps follow the reference's
+        timestep_checking_and_limiting (calc_timestep.cpp:219-260): growth
+        limit, then the caller-supplied cap (next output time / finish
+        time)."""
+        rt0 = None
+        if (physics is not None and physics.sources
+                and physics.mp is not None):
+            rt0 = physics.raytrace(P)
+        dt_raw = _dt_expr(P, rt0)
+        dt = jnp.where(last_dt > 0.0,
+                       jnp.minimum(dt_raw, cfg.max_dt_growth * last_dt),
+                       dt_raw)
+        dt = jnp.minimum(dt, dt_cap)
+        Pn = advance(P, dt, cfg, geom, bdata, physics=physics, t=t, rt0=rt0)
+        return Pn, dt, dt_raw
+
+    return StepFns(advance=_advance, calc_dt=_calc_dt, step=_step)
