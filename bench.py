@@ -93,67 +93,89 @@ def main():
 
 
 def coupled_bench(on_tpu, readback):
-    """RCW120/Ostar-class coupled step: MPv3 chemistry + one point
-    radiation source + one stellar wind on the same grid (the production
-    cost structure — BASELINE.md: CVODE + RT dominate).  Reported as extra
-    keys on the bench JSON line."""
+    """Flagship Ostar3D-class coupled step: 3D GLM-MHD (HLLD) on a 2-level
+    nested grid + MPv3 multifrequency photoionization from a point source +
+    a magnetized stellar wind — the full production composition
+    (reference: test_problems/Ostar3D/run.sh:10-23 scale, RCW120 physics).
+    Cell updates are counted over all levels (level l advances 2^l times
+    per hierarchy step).  Reported as extra keys on the bench JSON line."""
     import numpy as np
 
     from pion_tpu import SimConfig
-    from pion_tpu.constants import K_B, MSUN, PG, RO, YEAR
+    from pion_tpu.constants import K_B, MSUN, PG, RO, RSUN, YEAR
     from pion_tpu.microphysics import MPv3, MPv3Config
+    from pion_tpu.ng import NGHierarchy
     from pion_tpu.physics import Physics
     from pion_tpu.raytracing import Source
-    from pion_tpu.sim import Simulation
     from pion_tpu.winds import WindSource
 
     n = 128 if on_tpu else 24
-    L = 3.0e18
+    nlev = 2
+    L = 6.0e18
     cfg = SimConfig(
-        ndim=3, eqn="euler", solver="hll", ntracer=1,
+        ndim=3, eqn="glm", solver="hlld", ntracer=1,
         shape=(n, n, n), xmin=(0.0,) * 3, xmax=(L,) * 3,
-        bcs=tuple([("outflow", "outflow")] * 3),
+        bcs=tuple([("outflow", "outflow")] * 3), nlevels=nlev,
         cfl=0.3, ooa=2, av="falle", etav=0.1, dtype="float32",
         min_temperature=50.0, max_temperature=1.0e9, tmax=1.0e16,
     )
-    mpc = MPv3Config(tracer_slot=cfg.eqn.nbase, ion_src="mono",
-                     n_idot=1.0e48)
+    mpc = MPv3Config(tracer_slot=cfg.eqn.nbase, ion_src="mfion",
+                     n_idot=1.0e48, tstar=3.75e4, rstar_cm=10.0 * RSUN,
+                     min_temperature=50.0)
     ctr = (0.5 * L,) * 3
+    fine_dx = cfg.dx / 2 ** (nlev - 1)
     phys = Physics(
         mp=MPv3(mpc),
-        sources=[Source(position=ctr, strength=1.0e48, effect="mono")],
-        wind_sources=[WindSource(position=ctr, radius=6.0 * cfg.dx,
+        sources=[Source(position=ctr, strength=1.0e48, effect="mfion")],
+        wind_sources=[WindSource(position=ctr, radius=6.0 * fine_dx,
                                  mdot=1.0e-6 * MSUN / YEAR, vinf=2.0e8,
-                                 t_wind=3.0e4, tracers=(1.0,))],
-        dt_limit=False)
+                                 t_wind=3.0e4, b_star=10.0,
+                                 tracers=(1.0,))],
+        dt_limit=True)
 
-    nH = 300.0
-    P0 = np.zeros((cfg.nvar,) + cfg.shape, dtype=np.float32)
-    P0[RO] = nH * mpc.mean_mass_per_h
-    P0[PG] = 1.1 * nH * K_B * 300.0
-    P0[cfg.eqn.nbase] = 1.0e-6
-    sim = Simulation(cfg, jnp.asarray(P0), physics=phys)
-    dt = float(sim.compute_dt())
+    nH = 100.0
+    hier = NGHierarchy(cfg, nlev, physics=phys)
+    states = []
+    for l in range(nlev):
+        P0 = np.zeros((cfg.nvar,) + cfg.shape, dtype=np.float32)
+        P0[RO] = nH * mpc.mean_mass_per_h
+        P0[PG] = 1.1 * nH * K_B * 300.0
+        P0[cfg.eqn.nbase] = 1.0e-6
+        B0 = 4.0e-6 / np.sqrt(4.0 * np.pi)   # ~Ostar3D UNIFORM_ambBX
+        from pion_tpu.constants import BX
+        P0[BX] = B0
+        states.append(jnp.asarray(P0))
+    hier.set_states(states)
 
-    def timed(fn):
-        out = fn(sim.P)          # warm/compile
-        readback(out)
-        k = 10 if on_tpu else 2
-        t0 = time.perf_counter()
-        o = sim.P
+    def run_steps(k):
         for _ in range(k):
-            o = fn(o)
-        readback(o)
-        return (time.perf_counter() - t0) / k
+            hier.step()
+        readback(hier.P[0])
 
-    t_coupled = timed(lambda P: sim.fns.advance(P, dt, 0.0))
-    # pure-dynamics time on the identical grid for the cost ratio
-    sim_dyn = Simulation(cfg, jnp.asarray(P0))
-    t_dyn = timed(lambda P: sim_dyn.fns.advance(P, dt, 0.0))
+    run_steps(2)                 # warm/compile
+    k = 6 if on_tpu else 2
+    t0 = time.perf_counter()
+    run_steps(k)
+    t_coupled = (time.perf_counter() - t0) / k
 
-    ups = n ** 3 / t_coupled
+    # pure-dynamics NG step on the identical hierarchy for the cost ratio
+    hier_dyn = NGHierarchy(cfg, nlev)
+    hier_dyn.set_states(states)
+    for _ in range(2):
+        hier_dyn.step()
+    readback(hier_dyn.P[0])
+    t0 = time.perf_counter()
+    for _ in range(k):
+        hier_dyn.step()
+    readback(hier_dyn.P[0])
+    t_dyn = (time.perf_counter() - t0) / k
+
+    updates = sum(2 ** l for l in range(nlev)) * n ** 3
+    ups = updates / t_coupled
     return {
-        "coupled_metric": "3D MPv3+RT+wind (RCW120-class) cell updates/s/chip",
+        "coupled_metric": ("3D GLM+HLLD 2-level NG + MPv3 mfion point "
+                           "source + wind (Ostar3D-class) cell "
+                           "updates/s/chip"),
         "coupled_value": round(ups),
         "coupled_unit": "cell-updates/s",
         "coupled_over_dynamics": round(t_coupled / t_dyn, 2),

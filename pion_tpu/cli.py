@@ -295,11 +295,20 @@ def sources_from_params(cfg: SimConfig, params) -> List:
         effect = {1: "uv_heating", 2: "mono", 3: "mfion"}[
             int(g("effect__", g("effect", 2)))]
         at_inf = bool(int(g("at_infty", 0)))
+        # time-evolving source properties (reference: RT_EVO_FILE_i,
+        # dataio_base.cpp:1281; setup_evolving_RT_sources)
+        evo = None
+        evofile = str(params.get(f"RT_EVO_FILE_{i}", "NOFILE"))
+        if evofile not in ("", "NONE", "NOFILE"):
+            from .raytracing import StarEvolution
+
+            evo = StarEvolution.from_file(evofile)
         src = Source(
             position=_array_order(pos_xyz, cfg.ndim),
             at_infinity=at_inf,
             strength=g("strength", 0.0),
             effect=effect,
+            evolution=evo,
         )
         out.append(src)
     return out

@@ -261,10 +261,15 @@ class MPv3:
                   * ne / (1.0 + 0.05 * ne * (Tc / 2000.0) ** (-0.37)))
         return {"H_pah": H_pah, "C_pah": C_pah, "C_cxce": C_cxce}
 
-    def _tau_lookup(self, tau0, dtau_cur):
+    def _tau_lookup(self, tau0, dtau_cur, stack=None):
         """Photoion rate/heat at tau0, tau0+dtau and the low-tau slopes —
-        3 row gathers x 2 (interpolation pairs) on the (NTAU, 4) stack."""
-        tb = self.tab
+        row gathers on the (NTAU, 4) stack.  ``stack`` overrides the
+        setup-time table: evolving sources pass the current star's table
+        through the rt dict so no recompilation is needed when Teff moves
+        (reference: set_multifreq_source_properties re-integrates the
+        rate tables on >1% changes, MPv3.cpp:686)."""
+        if stack is None:
+            stack = self.tab["tau_stack"]
         tmin, tmax = self.tau_bounds
 
         def rows(tau):
@@ -272,14 +277,31 @@ class MPv3:
             f = (lt - self._ltau0) * self._inv_dltau
             i = jnp.clip(f.astype(jnp.int32), 0, self._n_tau - 2)
             w = (f - i.astype(f.dtype))[..., None]
-            lo = tb["tau_stack"][i]
-            hi = tb["tau_stack"][i + 1]
+            lo = stack[i]
+            hi = stack[i + 1]
             v = lo + jnp.clip(w, 0.0, 1.0) * (hi - lo)
             return jnp.exp(TB.LOGTEN * v)
 
         r0 = rows(tau0)
         r1 = rows(tau0 + dtau_cur)
         return r0, r1
+
+    def set_multifreq_source_properties(self, tstar: float, rstar_cm: float):
+        """Re-integrate the multifrequency photoionization tables for new
+        stellar properties (reference: MPv3::set_multifreq_source_properties,
+        MPv3.cpp:686; called by update_RT_source_properties when an
+        evolving source moves >1% in L or T).  Returns the peak-normalized
+        (NTAU, 4) stack and its log10 peak — callers feed the stack through
+        rt['tau_stack'] and fold 10^(ls_new - ls_setup) into the source's
+        relative-strength scale instead of recompiling."""
+        pt = TB.build_photoion_tables(tstar, rstar_cm)
+        ls = float(np.max(pt["pi_rate"]))
+        stack = np.stack([pt["pi_rate"] - ls, pt["pi_heat"] - ls,
+                          pt["lt_pi_rate"] - ls, pt["lt_pi_heat"] - ls],
+                         axis=-1)
+        dtype = np.asarray(self.tab["tau_stack"]).dtype \
+            if "tau_stack" in self.tab else np.float64
+        return jnp.asarray(stack.astype(dtype)), ls
 
     # -- the ODE right-hand side (reference: MPv3.cpp:1619-1936) -----------
     def ydot(self, one_minus_x, Eint, nH, rt: Dict):
@@ -331,7 +353,8 @@ class MPv3:
                 if sv is None:
                     sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) / vshell
 
-                r0, r1 = self._tau_lookup(tau0, dtau_cur)
+                r0, r1 = self._tau_lookup(tau0, dtau_cur,
+                                          stack=rt.get("tau_stack"))
                 big = r0[..., 0] - r1[..., 0]
                 small = r0[..., 2] * dtau_cur / (SIGMA0 * nH)
                 pir = jnp.where(dtau_cur < 0.01, small, big) * sv / nH

@@ -215,6 +215,7 @@ def cooling_rate_wss09_metals(T):
 # ---------------------------------------------------------------------------
 
 E_THRESH = 2.178720e-11  # 13.6 eV in erg (reference: :263)
+SIGMA0_XS = 6.3042e-18   # sigma(13.6 eV) [cm^2]
 
 
 def hi_xsection_fractional(E):
@@ -254,32 +255,33 @@ def build_photoion_tables(Tstar: float, Rstar_cm: float,
     interpolation agrees to < 1e-4).
     """
 
-    def integrand(E, tau0):
-        if E < E_THRESH:
-            return 0.0
-        ans = E * E * np.exp(-tau0 * float(hi_xsection_fractional(E)))
-        ans /= np.expm1(E / (1.38e-16 * Tstar))
-        return ans * 3.020e59 * Rstar_cm * Rstar_cm
-
     lt = np.linspace(np.log10(tau_min), np.log10(tau_max), n_spl)
     taus = 10.0 ** lt
     emin = 13.6 * 1.602e-12
-    pi_rate = np.array([
-        _simpson_log(lambda E: integrand(E, t), emin, Emax, n_sub) for t in taus
-    ])
-    pi_heat = np.array([
-        _simpson_log(lambda E: integrand(E, t) * (E - 2.18e-11), emin, Emax, n_sub)
-        for t in taus
-    ])
-    lt_rate = np.array([
-        _simpson_log(lambda E: integrand(E, t) * float(hi_xsection(E)),
-                     emin, Emax, n_sub) for t in taus
-    ])
-    lt_heat = np.array([
-        _simpson_log(
-            lambda E: integrand(E, t) * float(hi_xsection(E)) * (E - 2.18e-11),
-            emin, Emax, n_sub) for t in taus
-    ])
+
+    # vectorized Simpson in log-E (same scheme as _simpson_log): one
+    # (n_tau, n_E) integrand matrix instead of per-point Python calls —
+    # the table is rebuilt at runtime for evolving sources when Teff/L
+    # move >1% (reference: set_multifreq_source_properties, MPv3.cpp:686)
+    h = (np.log(Emax) - np.log(emin)) / n_sub
+    E = np.exp(np.log(emin) + h * np.arange(n_sub + 1))
+    w = np.full(n_sub + 1, 4.0)
+    w[2::2] = 2.0
+    w[0] = w[-1] = 1.0
+    sigf = hi_xsection_fractional(E)                    # (nE,)
+    base = E * E / np.expm1(E / (1.38e-16 * Tstar)) \
+        * 3.020e59 * Rstar_cm * Rstar_cm
+    atten = np.exp(-taus[:, None] * sigf[None, :])      # (ntau, nE)
+    mat = base[None, :] * atten * E[None, :]            # E factor: log-space
+
+    def simp(extra):
+        vals = (mat * extra[None, :] * w[None, :]).sum(axis=1) * h / 3.0
+        return np.maximum(vals, 1.0e-200)
+
+    pi_rate = simp(np.ones_like(E))
+    pi_heat = simp(E - 2.18e-11)
+    lt_rate = simp(SIGMA0_XS * sigf)
+    lt_heat = simp(SIGMA0_XS * sigf * (E - 2.18e-11))
     # resample through cubic splines onto a denser grid for linear lookup;
     # enforce monotone non-increasing rates (the spline oscillates at the
     # exp-underflow cliff where the integral hits its 1e-200 floor, which

@@ -168,7 +168,9 @@ class NGHierarchy:
         self._next_optime = None
 
     def set_states(self, states):
-        self.P = list(states)
+        # normalize to the config dtype (see Simulation.__post_init__:
+        # arrays made before the x64 flip would mix dtypes in-graph)
+        self.P = [jnp.asarray(s, dtype=self.cfg0.np_dtype) for s in states]
         self.bdata = make_fixed_strips(np.asarray(self.P[0]), self.cfgs[0])
         # frozen INFLOW/FIXED ghost strips for fine-level domain faces
         # (full padded transverse shape, captured from the initial state by
@@ -416,7 +418,7 @@ class NGHierarchy:
         (reference policy: sim_control_NG.cpp:288-341 coarse dt = 2^l *
         finest-limited dt; chemistry limit per calc_timestep.cpp:342)."""
         if "dt" not in self._jit_cache:
-            def whole(states):
+            def whole(states, sp=None):
                 vals = []
                 for l in range(self.n_levels):
                     d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l])
@@ -424,21 +426,22 @@ class NGHierarchy:
                     if (phys is not None and phys.dt_limit
                             and phys.mp is not None):
                         d = jnp.minimum(
-                            d, phys.timescale(states[l], self.cfgs[l]))
+                            d, phys.timescale(states[l], self.cfgs[l],
+                                              sp=sp))
                     vals.append(d * (2 ** l))
                 return jnp.min(jnp.stack(vals))
 
             self._jit_cache["dt"] = jax.jit(whole)
         return self._jit_cache["dt"]
 
-    def compute_dt(self) -> float:
-        dt0 = float(self._dt_fn()(tuple(self.P)))
+    def compute_dt(self, sp=None) -> float:
+        dt0 = float(self._dt_fn()(tuple(self.P), sp))
         if self.last_dt > 0.0:
             dt0 = min(dt0, self.cfgs[0].max_dt_growth * self.last_dt)
         return dt0
 
     def _advance_level(self, level: int, dt, parent_state=None,
-                       tau_in=None, t0=None, states=None):
+                       tau_in=None, t0=None, states=None, sp=None):
         """One OA2 step of `level` with two recursive substeps of level+1.
         Returns the time-summed restricted boundary-plane fluxes for the
         parent's BC89 correction (reference: sim_control_NG.cpp:679-810).
@@ -463,7 +466,8 @@ class NGHierarchy:
         dU_h, _ = dynamics_dU(Ppad, cfg, geom, 0.5 * dt, 1, ch=ch,
                               scma=scma)
         if phys is not None and phys.mp is not None:
-            dU_h = dU_h + phys.mp_delta_U(P, P, 0.5 * dt, cfg, tau_in)
+            dU_h = dU_h + phys.mp_delta_U(P, P, 0.5 * dt, cfg, tau_in,
+                                          sp=sp)
         Ph = cell_advance(P, dU_h, cfg)
         if glm:
             Ph = glm_psi_damp(Ph, 0.5 * dt, ch, cfg, geom)
@@ -480,21 +484,22 @@ class NGHierarchy:
         fine_sums_1 = None
         if level + 1 < self.n_levels:
             fine_sums_1 = self._advance_level(level + 1, 0.5 * dt, Ph,
-                                              tau_child, t0, states)
+                                              tau_child, t0, states, sp)
 
         # corrector (2nd-order space), keep face fluxes
         Ppad = self._pad_level(level, Ph, parent_state)
         dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch,
                                   scma=scma)
         if phys is not None and phys.mp is not None:
-            dU_f = dU_f + phys.mp_delta_U(P, Ph, dt, cfg, tau_in)
+            dU_f = dU_f + phys.mp_delta_U(P, Ph, dt, cfg, tau_in,
+                                          sp=sp)
 
         # second fine substep
         fine_sums_2 = None
         if level + 1 < self.n_levels:
             fine_sums_2 = self._advance_level(level + 1, 0.5 * dt, Ph,
                                               tau_child, t0 + 0.5 * dt,
-                                              states)
+                                              states, sp)
 
         # BC89: correct this level's dU with the fine fluxes
         if level + 1 < self.n_levels:
@@ -544,18 +549,20 @@ class NGHierarchy:
         the full recursion beats per-level jit by removing every host
         round-trip between substeps)."""
         if "step" not in self._jit_cache:
-            def whole(states, dt, t):
+            def whole(states, dt, t, sp=None):
                 st = list(states)
-                self._advance_level(0, dt, t0=t, states=st)
+                self._advance_level(0, dt, t0=t, states=st, sp=sp)
                 return tuple(st)
 
             self._jit_cache["step"] = jax.jit(whole)
         return self._jit_cache["step"]
 
     def step(self, dt: float = None) -> float:
+        sp = (self.physics.update_sources(self.t)
+              if self.physics is not None and self.physics.sources else None)
         if dt is None:
-            dt = self.compute_dt()
-        self.P = list(self._step_fn()(tuple(self.P), dt, self.t))
+            dt = self.compute_dt(sp)
+        self.P = list(self._step_fn()(tuple(self.P), dt, self.t, sp))
         self.t += dt
         self.last_dt = dt
         self.step_count += 1

@@ -95,15 +95,62 @@ class Physics:
             out[i] = tau
         return out
 
-    def raytrace(self, Ph, tau_in: Optional[Dict] = None) -> Dict:
+    def update_sources(self, t: float) -> Optional[Dict]:
+        """Evolving-source update: interpolate each source's evolution
+        table at t and build the traced per-source parameter pytree
+        (reference: update_evolving_RT_sources, setup_fixed_grid.cpp:695-790
+        — re-applied only when L or T move >1%; mfion tables re-integrated
+        via set_multifreq_source_properties).  Host-side, once per step.
+        Returns None when no source evolves (static pytree structure)."""
+        if not any(s.evolution is not None for s in self.sources):
+            return None
+        if not hasattr(self, "_star"):
+            self._star = {}
+        sp: Dict = {}
+        for i, src in enumerate(self.sources):
+            if src.evolution is None:
+                continue
+            L, T, R = src.evolution.at(t)
+            st = self._star.get(i)
+            if (st is None or abs(L - st["L"]) / st["L"] > 0.01
+                    or abs(T - st["T"]) / st["T"] > 0.01):
+                st = {"L": L, "T": T, "R": R}
+                if src.effect == "mfion":
+                    stack, ls = self.mp.set_multifreq_source_properties(T, R)
+                    st["tau_stack"] = stack
+                    st["rel"] = float(np.exp(
+                        np.log(10.0) * (ls - self.mp.rate_scale_log)))
+                elif src.effect == "uv_heating":
+                    # reference's FUV-strength prescription
+                    # (setup_fixed_grid.cpp:769-772)
+                    st["rel"] = (1.0e48 * (L / 1.989e38)
+                                 * np.exp(-1.0e4 / T) / src.strength)
+                else:  # mono: strength follows L (reference sets
+                    # rs->strength = Lnow for every evolving source)
+                    st["rel"] = L / src.strength
+                self._star[i] = st
+            entry = {"rel": jnp.asarray(st["rel"])}
+            if "tau_stack" in st:
+                entry["tau_stack"] = st["tau_stack"]
+            sp[str(i)] = entry
+        return sp
+
+    def raytrace(self, Ph, tau_in: Optional[Dict] = None,
+                 sp: Optional[Dict] = None) -> Dict:
         """Trace all sources through the current state; assemble the rt dict
         (reference: setup_radiation_source_parameters, MPv3.cpp:1431-1516).
         ``tau_in`` optionally adds per-source upstream column offsets (for
-        nested-grid levels whose domain does not reach the ray origin)."""
+        nested-grid levels whose domain does not reach the ray origin).
+        ``sp``: evolving-source parameters from :meth:`update_sources`."""
         rt: Dict = {}
         g0_uv = None
         g0_ir = None
         for i, src in enumerate(self.sources):
+            rel = None
+            if sp is not None and str(i) in sp:
+                # cast to the field dtype: the host-side scalar may be f64
+                # (x64-enabled process) while the run is float32
+                rel = sp[str(i)]["rel"].astype(Ph.dtype)
             if src.at_infinity:
                 ds0 = jnp.full_like(Ph[RO], self.raytracer.geom.dx)
             else:
@@ -119,13 +166,25 @@ class Physics:
                 vsh_np = np.float64(self.raytracer.geom.dx)
             else:
                 vsh_np = self.raytracer.point_tracers[i].vshell
-            nv = jnp.asarray(np.float64(src.strength) / vsh_np)
+            # cast to the field dtype: host f64 scalars/arrays are strong
+            # f64 under x64 and would promote the whole ladder
+            nv = jnp.asarray(np.float64(src.strength) / vsh_np,
+                             dtype=Ph.dtype)
+            if rel is not None:
+                nv = nv * rel
             if src.effect in ("mono", "mfion"):
                 ls = getattr(self.mp, "rate_scale_log", 0.0)
                 sv = jnp.asarray(
-                    np.exp(np.log(10.0) * (ls - np.log10(vsh_np))))
+                    np.exp(np.log(10.0) * (ls - np.log10(vsh_np))),
+                    dtype=Ph.dtype)
+                if rel is not None:
+                    sv = sv * rel
                 rt.update(tau0=tau, ds=ds, vshell=vshell,
                           n_idot=src.strength, nv=nv, sv=sv)
+                if sp is not None and str(i) in sp \
+                        and "tau_stack" in sp[str(i)]:
+                    rt["tau_stack"] = \
+                        sp[str(i)]["tau_stack"].astype(Ph.dtype)
             else:  # uv_heating (Henney+09 A3/A6 attenuation; /1.2e7 norm)
                 if src.at_infinity:
                     # diffuse field: solid-angle weighted
@@ -143,6 +202,8 @@ class Physics:
                     else:
                         angle = 1.0
                     flux = src.strength * angle
+                    if rel is not None:
+                        flux = flux * rel
                 else:
                     flux = nv * ds
                 uv = flux * jnp.exp(-1.90 * tau)
@@ -158,7 +219,8 @@ class Physics:
         rt["g0_ir"] = (g0_ir / 1.2e7) if g0_ir is not None else z
         return rt
 
-    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig, tau_in=None, rt=None):
+    def mp_delta_U(self, P, Ph, dt, cfg: SimConfig, tau_in=None, rt=None,
+                   sp=None):
         """Conserved-variable increment from the chemistry update
         (reference: calc_RT_microphysics_dU — dU += U(p_out)-U(p_in),
         time_integrator.cpp:430-497; base state is P, columns from Ph).
@@ -168,14 +230,15 @@ class Physics:
         from .ops.eqns import prim_to_cons
 
         if rt is None:
-            rt = self.raytrace(Ph, tau_in) if self.sources else None
+            rt = (self.raytrace(Ph, tau_in, sp=sp) if self.sources
+                  else None)
         P_new = (self.mp._update_impl(P, dt, cfg, rt) if rt is not None
                  else self.mp._update_impl(P, dt, cfg, self.mp.default_rt(P)))
         return prim_to_cons(P_new, cfg) - prim_to_cons(P, cfg)
 
-    def timescale(self, P, cfg: SimConfig, tau_in=None, rt=None):
+    def timescale(self, P, cfg: SimConfig, tau_in=None, rt=None, sp=None):
         if rt is None:
-            rt = self.raytrace(P, tau_in) if self.sources else None
+            rt = self.raytrace(P, tau_in, sp=sp) if self.sources else None
         if rt is None:
             rt = self.mp.default_rt(P)
         return self.mp._timescales_impl(P, cfg, rt)

@@ -1,1 +1,2 @@
-from .tracer import PointSourceTracer, Raytracer, Source, parallel_rays  # noqa: F401
+from .tracer import (PointSourceTracer, Raytracer, Source,  # noqa: F401
+                     StarEvolution, parallel_rays)

@@ -32,6 +32,46 @@ from ..grid import Geometry
 
 
 @dataclasses.dataclass(frozen=True)
+class StarEvolution:
+    """Time-interpolated radiation-source properties from a stellar-
+    evolution table (reference: setup_fixed_grid.cpp:595-688
+    setup_evolving_RT_sources reads 'time M L Teff Mdot vrot vcrit vinf'
+    and stores log10 L/T/R; update_evolving_RT_sources:695-790 linearly
+    interpolates the logs in time and re-applies when L or T move >1%)."""
+
+    time: np.ndarray      # s
+    log_L: np.ndarray     # log10 L [erg/s]
+    log_T: np.ndarray     # log10 Teff [K]
+    log_R: np.ndarray     # log10 R* [cm]
+
+    @classmethod
+    def from_file(cls, path: str) -> "StarEvolution":
+        SIGMA_SB = 5.670367e-5  # reference: constants.h StefanBoltzmannConst
+        rows = []
+        with open(path) as f:
+            for line in f.readlines()[2:]:
+                parts = line.split()
+                if len(parts) >= 4:
+                    rows.append([float(x) for x in parts[:4]])
+        if not rows:
+            raise ValueError(f"no data rows in evolution file {path}")
+        a = np.asarray(rows)
+        time, lum, teff = a[:, 0], a[:, 2], a[:, 3]
+        rstar = np.sqrt(lum / (4.0 * np.pi * SIGMA_SB * teff**4))
+        return cls(time=time, log_L=np.log10(lum), log_T=np.log10(teff),
+                   log_R=np.log10(rstar))
+
+    def at(self, t: float):
+        """(L [erg/s], Teff [K], Rstar [cm]) at time t — log-linear
+        interpolation, clamped to the table ends (the reference holds the
+        last line constant past the end)."""
+        lL = float(np.interp(t, self.time, self.log_L))
+        lT = float(np.interp(t, self.time, self.log_T))
+        lR = float(np.interp(t, self.time, self.log_R))
+        return 10.0 ** lL, 10.0 ** lT, 10.0 ** lR
+
+
+@dataclasses.dataclass(frozen=True)
 class Source:
     """Radiation source (reference: raytracing/rad_src_data.h:27-76)."""
 
@@ -42,6 +82,9 @@ class Source:
     strength: float = 0.0              # Ndot [1/s] or flux [1/cm^2/s]
     effect: str = "mono"               # mono | mfion | uv_heating
     tau_min: float = 0.7               # C2Ray interpolation floor
+    # stellar-evolution table driving (strength, Teff, Rstar) in time
+    # (reference: rad_src_info.EvoFile, rad_src_data.h:66)
+    evolution: Optional[StarEvolution] = None
 
 
 def parallel_rays(dtau: jnp.ndarray, axis: int, sign: int, dx: float):

@@ -54,6 +54,11 @@ class Simulation:
             raise ValueError(
                 f"state shape {tuple(self.P.shape)} != {expect} expected "
                 f"from the config (nvar, *shape)")
+        # normalize the state to the config dtype: a jnp array created
+        # before ensure_precision flipped x64 is float32 and would mix
+        # dtypes inside while_loop carries (pass numpy arrays to preserve
+        # full float64 ICs through this cast)
+        self.P = jnp.asarray(self.P, dtype=self.cfg.np_dtype)
         self.geom: Geometry = make_geometry(self.cfg)
         self.bdata: BoundaryData = make_fixed_strips(np.asarray(self.P), self.cfg)
         if self.jet is not None:
@@ -165,8 +170,10 @@ class Simulation:
         return dt
 
     def step(self) -> float:
+        sp = (self.physics.update_sources(self.t)
+              if self.physics is not None and self.physics.sources else None)
         Pn, dt, dt_raw = self.fns.step(self.P, self.t, self.last_dt,
-                                       self._dt_cap())
+                                       self._dt_cap(), sp)
         dt = float(dt)
         if float(dt_raw) < self.cfg.min_timestep:
             raise RuntimeError(f"timestep too small: {float(dt_raw)}")

@@ -42,7 +42,7 @@ def glm_psi_damp(P, dt, ch, cfg: SimConfig, geom: Geometry):
 
 
 def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
-                    physics=None, t=0.0, rt=None):
+                    physics=None, t=0.0, rt=None, sp=None):
     """One flux update: dU from Ph, applied on top of P.
 
     Chemistry contributes a conserved increment computed from P with columns
@@ -80,7 +80,7 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
                                  scma=(physics is not None
                                        and physics.mp is not None))
     if physics is not None and physics.mp is not None:
-        dU = dU + physics.mp_delta_U(P, Ph, dt, cfg, rt=rt)
+        dU = dU + physics.mp_delta_U(P, Ph, dt, cfg, rt=rt, sp=sp)
     if cfg.conduction:
         from .constants import K_B, M_P, RO as _RO, PG as _PG
         from .ops.conduction import conduction_Edot
@@ -108,7 +108,7 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
 
 def advance(P, dt, cfg: SimConfig, geom: Geometry,
             bdata: Optional[BoundaryData] = None, ch=None, physics=None,
-            t=0.0, rt0=None):
+            t=0.0, rt0=None, sp=None):
     """Advance one full step of size dt; returns the new state.
 
     OA1: single 1st-order update (reference: time_integrator.cpp:80-97).
@@ -121,10 +121,11 @@ def advance(P, dt, cfg: SimConfig, geom: Geometry,
         ch = cfg.cfl * geom.dx / dt
     if cfg.ooa == 1:
         return _partial_update(P, P, dt, 1, cfg, geom, bdata, ch, physics, t,
-                               rt=rt0)
+                               rt=rt0, sp=sp)
     Ph = _partial_update(P, P, 0.5 * dt, 1, cfg, geom, bdata, ch, physics, t,
-                         rt=rt0)
-    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch, physics, t)
+                         rt=rt0, sp=sp)
+    return _partial_update(P, Ph, dt, 2, cfg, geom, bdata, ch, physics, t,
+                           sp=sp)
 
 
 class StepFns(NamedTuple):
@@ -158,15 +159,15 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
         return dt
 
     @jax.jit
-    def _advance(P, dt, t=0.0):
-        return advance(P, dt, cfg, geom, bdata, physics=physics, t=t)
+    def _advance(P, dt, t=0.0, sp=None):
+        return advance(P, dt, cfg, geom, bdata, physics=physics, t=t, sp=sp)
 
     @jax.jit
     def _calc_dt(P):
         return _dt_expr(P)
 
     @jax.jit
-    def _step(P, t, last_dt, dt_cap):
+    def _step(P, t, last_dt, dt_cap, sp=None):
         """Fused dt + advance: ONE compiled program per step, and the
         radiation columns through P are traced ONCE and shared between the
         chemistry dt limit and the predictor partial update (the reference
@@ -178,13 +179,14 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
         rt0 = None
         if (physics is not None and physics.sources
                 and physics.mp is not None):
-            rt0 = physics.raytrace(P)
+            rt0 = physics.raytrace(P, sp=sp)
         dt_raw = _dt_expr(P, rt0)
         dt = jnp.where(last_dt > 0.0,
                        jnp.minimum(dt_raw, cfg.max_dt_growth * last_dt),
                        dt_raw)
         dt = jnp.minimum(dt, dt_cap)
-        Pn = advance(P, dt, cfg, geom, bdata, physics=physics, t=t, rt0=rt0)
+        Pn = advance(P, dt, cfg, geom, bdata, physics=physics, t=t,
+                     rt0=rt0, sp=sp)
         return Pn, dt, dt_raw
 
     return StepFns(advance=_advance, calc_dt=_calc_dt, step=_step)
