@@ -437,7 +437,11 @@ def physics_from_params(cfg: SimConfig, params) -> Optional[object]:
         ))
     else:
         raise ValueError(f"unknown chem_code {chem!r}")
-    return Physics(mp=mp, sources=sources, wind_sources=winds)
+    # EP_MP_timestep_limit: 0 disables the chemistry dt limit
+    # (reference: sim_params.h:56-63 MP_timestep_limit modes; mode 0 = off)
+    dt_lim = bool(int(gf("EP_MP_timestep_limit", 1)))
+    return Physics(mp=mp, sources=sources, wind_sources=winds,
+                   dt_limit=dt_lim)
 
 
 def jet_from_params(cfg: SimConfig, params) -> Optional[tuple]:

@@ -1,0 +1,117 @@
+"""Ostar3D-class end-to-end CLI gate (BASELINE milestone 5).
+
+Runs the reference's own params_Ostar3D_B010_n0128l3.txt scaled down
+(32^3 x 2 levels), plus a flagship variant with the full coupled physics
+(MPv3 mfion point source) added — 3D GLM-MHD + HLLD + nested grid + wind
++ photoionization in one CLI run, with restart equivalence
+(reference: test_problems/Ostar3D/run.sh:10-23)."""
+import numpy as np
+
+from pion_tpu.cli import icgen_main, run_main
+from pion_tpu.constants import RO, VX
+
+REF = "/root/reference/test_problems/Ostar3D/params_Ostar3D_B010_n0128l3.txt"
+
+
+def _scaled_params(tmp_path, extra=""):
+    txt = open(REF).read()
+    repl = {
+        "NGridX  128": "NGridX  32",
+        "NGridY  128": "NGridY  32",
+        "NGridZ  128": "NGridZ  32",
+        "grid_nlevels 3": "grid_nlevels 2",
+        "OutputPath ./": f"OutputPath {tmp_path}/",
+        "OutputFileType silo": "OutputFileType npz",
+        # wind region must span >= ~6 finest cells at the reduced
+        # resolution (finest dx = 24.576e18/64 = 0.384e18)
+        "WIND_0_radius 0.96e18": "WIND_0_radius 2.4e18",
+    }
+    for a, b in repl.items():
+        assert a in txt, f"reference param line changed: {a}"
+        txt = txt.replace(a, b)
+    return txt + "\n" + extra
+
+
+def test_ostar3d_scaled_cli_gate(tmp_path):
+    """The reference config as-is (wind bow shock, mp_only_cooling #8)."""
+    pf = tmp_path / "params_ostar3d.txt"
+    pf.write_text(_scaled_params(tmp_path))
+    snap = icgen_main([str(pf)])
+    sim = run_main([snap, "max_steps=4", "log_freq=0"])
+    assert sim.step_count == 4 and sim.t > 0.0
+    for l in range(2):
+        assert np.all(np.isfinite(np.asarray(sim.P[l]))), f"level {l}"
+    # the wind cavity is carved on the fine level: free-wind density at
+    # ~5 fine cells from the star is far below ambient (2e-24), and the
+    # wind flows outward at ~1500 km/s
+    Pf = np.asarray(sim.P[1])
+    cfg_f = sim.cfgs[1]
+    ax = [np.asarray(cfg_f.cell_centers(a)) for a in range(3)]
+    iz, iy = np.argmin(np.abs(ax[0])), np.argmin(np.abs(ax[1]))
+    ix = np.argmin(np.abs(ax[2] - 5.5 * cfg_f.dx))
+    assert Pf[RO][iz, iy, ix] < 1.0e-24
+    # P[VX] is the PHYSICAL x velocity (x = last array axis)
+    assert Pf[VX][iz, iy, ix] > 1.0e8, "wind should flow outward +x"
+
+
+FLAGSHIP_EXTRA = """
+chem_code MPv3
+EP_raytracing   1
+EP_phot_ionisation   1
+EP_chemistry    1
+EP_coll_ionisation   1
+EP_rad_recombination 1
+EP_MP_timestep_limit 1
+EP_Min_Temperature 1.0e2
+Tracer000 H1+
+UNIFORM_ambTR0 1.0e-6
+RT_Nsources 1
+RT_position_0_0  0.0
+RT_position_0_1  0.0
+RT_position_0_2  0.0
+RT_strength_0    1.0e48
+RT_effect__0     3
+RT_at_infty_0    0
+RT_Tstar____0    3.5e4
+RT_Rstar____0    10.0
+"""
+
+
+def test_ostar3d_flagship_coupled_gate(tmp_path):
+    """The VERDICT round-3 flagship composition: 3D GLM+HLLD + NG + wind
+    + MPv3 mfion point source, end-to-end through the CLI with restart."""
+    pf = tmp_path / "params_ostar3d_mpv3.txt"
+    pf.write_text(_scaled_params(tmp_path, FLAGSHIP_EXTRA))
+    snap = icgen_main([str(pf)])
+    sim = run_main([snap, "max_steps=4", "log_freq=0"])
+    assert sim.step_count == 4 and sim.t > 0.0
+    assert sim.physics is not None and sim.physics.mp is not None
+    assert sim.physics.sources and sim.physics.sources[0].effect == "mfion"
+    assert sim.physics.wind_sources
+    for l in range(2):
+        assert np.all(np.isfinite(np.asarray(sim.P[l]))), f"level {l}"
+    # photoionization happened: ion fraction rose above the 1e-6 ambient
+    # outside the wind zone on the fine level
+    xion = np.asarray(sim.P[1])[sim.cfgs[1].eqn.nbase]
+    assert float(xion.max()) > 1.0e-3
+
+    # restart: continue 2 more steps from the written snapshot, states
+    # must match a continuous 6-step run to tight tolerance
+    out = sorted(f for f in tmp_path.iterdir()
+                 if f.name.startswith("Ostar3D_B010_n0128l3.0"))
+    assert out, "final snapshot written"
+    from pion_tpu.ng import NGHierarchy
+
+    h2 = NGHierarchy.restart(str(out[-1]))
+    assert h2.step_count == 4 and h2.physics is not None
+    assert h2.physics.sources and h2.physics.sources[0].effect == "mfion"
+    for _ in range(2):
+        h2.step()
+    sim.run(max_steps=6)   # continuous run to 6 steps total
+    for l in range(2):
+        a, b = np.asarray(sim.P[l]), np.asarray(h2.P[l])
+        assert np.all(np.isfinite(b))
+        np.testing.assert_allclose(
+            b, a, rtol=5e-5,
+            atol=1e-6 * np.abs(a).max(),
+            err_msg=f"restart diverged on level {l}")
