@@ -124,26 +124,70 @@ XRAY_BANDS_KEV = (0.1, 0.2, 0.3, 0.5, 1.0, 2.0, 5.0, 10.0)
 _XR_LOGT = np.linspace(4.0, 9.0, 161)
 
 
-def _xray_tables():
-    T = 10.0**_XR_LOGT
-    kT_kev = T * K_B / 1.602176634e-9
-    # free-free: Lambda_ff = 1.426e-27 sqrt(T) g_B, g_B ~ 1.1-1.5
-    gaunt = 1.1 + 0.34 * np.exp(-((5.5 - np.log10(T)) ** 2) / 3.0)
-    lam_ff = 1.426e-27 * np.sqrt(T) * gaunt
-    # metal lines: CIE bump peaking near 10^6.3 K (SD93 solar shape),
-    # characteristic photon energy ~ kT
-    lam_line = 6.0e-23 * np.exp(-((np.log10(T) - 6.3) ** 2) / 0.45)
-    tabs = {}
-    for e0 in XRAY_BANDS_KEV:
-        frac = np.exp(-e0 / np.maximum(kT_kev, 1e-12))
-        tabs[e0] = np.log10(np.maximum((lam_ff + lam_line) * frac, 1e-60))
-    return tabs
+class XrayTables:
+    """log10 Lambda_X(>E) vs log10 T per band (reference:
+    Xray_emission::setup_xray_tables_priv, xray_emission.cpp:60-160)."""
+
+    def __init__(self, logt: np.ndarray, tabs: dict):
+        self.logt = np.asarray(logt)
+        self.tabs = {float(k): np.asarray(v) for k, v in tabs.items()}
+
+    @classmethod
+    def from_file(cls, path: str) -> "XrayTables":
+        """Load the reference's XSPEC-derived text table format
+        ('log10(T) T(K) E(keV) j(E>0.1) ... j(E>10)', 8 band columns —
+        xray_emission.cpp:88-160): supplying the same xray-table.txt the
+        reference uses reproduces its band emissivities exactly (log-log
+        linear interpolation on the identical data)."""
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if not line.strip() or "#" in line:
+                    continue
+                parts = [float(x) for x in line.split()]
+                if len(parts) >= 11:
+                    rows.append(parts)
+        if not rows:
+            raise ValueError(f"no rows in X-ray table {path}")
+        a = np.asarray(rows)
+        logt = a[:, 0]
+        tabs = {e0: np.log10(np.maximum(a[:, 3 + i], 1e-99))
+                for i, e0 in enumerate(XRAY_BANDS_KEV)}
+        return cls(logt, tabs)
+
+    @classmethod
+    def builtin(cls) -> "XrayTables":
+        """Approximate built-in model: free-free continuum with Gaunt
+        factor plus a solar-abundance CIE line bump, partitioned into
+        bands by the exponential photon-energy distribution.  Quantified
+        against the reference's shipped XSPEC table in
+        tests/test_analysis.py::test_xray_builtin_vs_reference_table
+        (PARITY.md carries the band-by-band ratios)."""
+        T = 10.0**_XR_LOGT
+        kT_kev = T * K_B / 1.602176634e-9
+        gaunt = 1.1 + 0.34 * np.exp(-((5.5 - np.log10(T)) ** 2) / 3.0)
+        lam_ff = 1.426e-27 * np.sqrt(T) * gaunt
+        lam_line = 6.0e-23 * np.exp(-((np.log10(T) - 6.3) ** 2) / 0.45)
+        tabs = {}
+        for e0 in XRAY_BANDS_KEV:
+            frac = np.exp(-e0 / np.maximum(kT_kev, 1e-12))
+            tabs[e0] = np.log10(np.maximum((lam_ff + lam_line) * frac,
+                                           1e-60))
+        return cls(_XR_LOGT, tabs)
 
 
-_XRAY_TABLES = _xray_tables()
+_XRAY_DEFAULT = XrayTables.builtin()
 
 
-def xray_emissivity(ne, nH, T, e_min_kev: float = 0.1):
+def set_xray_table(path: str) -> None:
+    """Replace the built-in approximate X-ray tables with a
+    reference-format table file for exact parity (the reference ships
+    xray-table.txt next to its projection tools)."""
+    global _XRAY_DEFAULT
+    _XRAY_DEFAULT = XrayTables.from_file(path)
+
+
+def xray_emissivity(ne, nH, T, e_min_kev: float = 0.1, tables=None):
     """X-ray emissivity above e_min_kev: n_e n_H Lambda_X(T) [erg/cm^3/s].
 
     Table lookup in log T per band, log-linear interpolation between the
@@ -152,19 +196,20 @@ def xray_emissivity(ne, nH, T, e_min_kev: float = 0.1):
     same eight >E bands).  Matching the reference's out-of-range policy:
     zero emissivity below the table floor, linear log-log extrapolation
     above the ceiling (xray_emission.cpp:212-235)."""
+    xt = tables if tables is not None else _XRAY_DEFAULT
     logT = jnp.log10(jnp.maximum(T, 1.0))
     bands = XRAY_BANDS_KEV
-    lt = jnp.asarray(_XR_LOGT)
+    lt = jnp.asarray(xt.logt)
 
     def interp(e0):
-        tab = jnp.asarray(_XRAY_TABLES[e0])
+        tab = jnp.asarray(xt.tabs[e0])
         val = jnp.interp(logT, lt, tab)
         slope = (tab[-1] - tab[-2]) / (lt[-1] - lt[-2])
         val = jnp.where(logT > lt[-1], tab[-1] + slope * (logT - lt[-1]), val)
         return jnp.where(logT < lt[0], 0.0, 10.0**val)
 
-    if e_min_kev in _XRAY_TABLES:
-        lam = interp(e_min_kev)
+    if float(e_min_kev) in xt.tabs:
+        lam = interp(float(e_min_kev))
     else:
         i = int(np.clip(np.searchsorted(bands, e_min_kev) - 1, 0,
                         len(bands) - 2))

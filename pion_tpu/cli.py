@@ -479,6 +479,46 @@ def _outfile(params) -> str:
     return os.path.join(path, name)
 
 
+def equilibrate_mp(P: np.ndarray, cfg: SimConfig, params) -> np.ndarray:
+    """Chemistry equilibration pass before writing ICs (reference:
+    ICsetup_base::equilibrate_MP, icgen_base.cpp:147-210, called from
+    icgen.cpp:216 when EP_chemistry is on and InitIons != NO): integrate
+    the no-RT chemistry for 2x50 substeps of 50 cell-dynamical-times with
+    the energy held fixed (the reference disables EP.update_erg), so
+    RT+chemistry runs start from ionization equilibrium instead of
+    hand-set ion fractions."""
+    chem = params.get("chem_code", "None")
+    if chem in ("None", "none", "NONE", ""):
+        return P
+    if not int(float(params.get("EP_chemistry", 0) or 0)):
+        return P
+    init = str(params.get("InitIons", "YES")).upper()
+    if init in ("NO", "N"):
+        return P
+    phys = physics_from_params(cfg, params)
+    if phys is None or phys.mp is None:
+        return P
+    import jax.numpy as jnp
+
+    from .constants import PG as _PG, RO as _RO
+
+    # 50 cell-dynamical-times from the first cell's sound speed
+    # (icgen_base.cpp:184-188 uses FirstPt)
+    flat0 = tuple(0 for _ in cfg.shape)
+    cs = float(np.sqrt(cfg.gamma * P[(_PG,) + flat0] / P[(_RO,) + flat0]))
+    tint = 50.0 * cfg.dx / cs
+    Pj = jnp.asarray(P.astype(cfg.np_dtype))
+    E0 = Pj[_PG]
+    mp = phys.mp
+    for _ in range(100):
+        Pj = mp.update(Pj, tint, cfg)
+        Pj = Pj.at[_PG].set(E0)   # update_erg=false equivalent
+    out = np.asarray(Pj)
+    if not np.all(np.isfinite(out)):
+        raise RuntimeError("equilibrate_MP produced non-finite state")
+    return out.astype(cfg.np_dtype)
+
+
 def icgen_main(argv: List[str]) -> str:
     """``icgen`` equivalent: param file -> IC snapshot.  For
     ``grid_nlevels > 1`` the generator is evaluated on every level's
@@ -505,10 +545,11 @@ def icgen_main(argv: List[str]) -> str:
         from .ng import make_level_cfg, snap_ng_centre
 
         centre = snap_ng_centre(cfg)
-        P = np.stack([one_level(make_level_cfg(cfg, l, centre))
-                      for l in range(cfg.nlevels)])
+        lcfgs = [make_level_cfg(cfg, l, centre) for l in range(cfg.nlevels)]
+        P = np.stack([equilibrate_mp(one_level(c), c, params)
+                      for c in lcfgs])
     else:
-        P = one_level(cfg)
+        P = equilibrate_mp(one_level(cfg), cfg, params)
     path = save_snapshot(_outfile(params) + ".00000000", P, cfg,
                          float(params.get("StartTime", 0.0)), 0,
                          extra={"params": params})

@@ -200,3 +200,68 @@ def test_project_3d_tilted_los():
     rm_mid = np.asarray(tilt["rm"])[n // 2, n // 2]
     rm0 = np.asarray(base["rm"])[n // 2, n // 2]
     np.testing.assert_allclose(rm_mid, rm0, rtol=0.05)
+
+
+def test_xray_reference_table_loads_and_matches_exactly():
+    """Loading the reference's shipped XSPEC table reproduces its band
+    emissivities exactly (same data, same log-log interpolation)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from pion_tpu.analysis.projection import XrayTables, xray_emissivity
+
+    path = "/root/reference/analysis/projection/xray-table.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference xray-table.txt not available")
+    xt = XrayTables.from_file(path)
+    assert len(xt.logt) == 77 and len(xt.tabs) == 8
+    # at an exact table row the interpolation returns the row value
+    row = 20
+    T = 10.0 ** xt.logt[row]
+    for e0, tab in xt.tabs.items():
+        lam = float(xray_emissivity(jnp.asarray(1.0), jnp.asarray(1.0),
+                                    jnp.asarray(T), e0, tables=xt))
+        want = 10.0 ** tab[row]
+        if want > 1e-90:
+            np.testing.assert_allclose(lam, want, rtol=1e-6)
+
+
+def test_xray_builtin_vs_reference_table():
+    """Quantify the built-in approximate model against the reference's
+    XSPEC table (VERDICT r3 item 10): band-by-band log10 offsets at
+    representative shocked-wind temperatures.  The soft bands agree to
+    within ~0.5 dex in 1e6-1e7 K; numbers recorded in PARITY.md."""
+    import os
+
+    import jax.numpy as jnp
+
+    from pion_tpu.analysis.projection import (XRAY_BANDS_KEV, XrayTables,
+                                              xray_emissivity)
+
+    path = "/root/reference/analysis/projection/xray-table.txt"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference xray-table.txt not available")
+    xt = XrayTables.from_file(path)
+    print("\nband-by-band log10(builtin/XSPEC):")
+    offs = {}
+    for T in (1.0e6, 3.0e6, 1.0e7, 3.0e7):
+        row = []
+        for e0 in XRAY_BANDS_KEV[:6]:      # 0.1..2 keV (main science bands)
+            ref = float(xray_emissivity(jnp.asarray(1.0), jnp.asarray(1.0),
+                                        jnp.asarray(T), e0, tables=xt))
+            own = float(xray_emissivity(jnp.asarray(1.0), jnp.asarray(1.0),
+                                        jnp.asarray(T), e0))
+            off = np.log10(own / ref) if ref > 1e-60 else np.nan
+            row.append(off)
+            offs[(T, e0)] = off
+        print(f"T={T:.0e}: " + " ".join(f"{o:+.2f}" for o in row))
+    # the bands that dominate observed diffuse X-ray fluxes from wind
+    # bubbles (0.3-2 keV at 1e6-1e7 K) must be within an order of magnitude
+    for T in (1.0e6, 3.0e6, 1.0e7):
+        for e0 in (0.3, 0.5, 1.0):
+            assert abs(offs[(T, e0)]) < 1.0, (T, e0, offs[(T, e0)])

@@ -282,3 +282,77 @@ def test_wind2d_cylindrical_ng_runs(tmp_path):
     for l in range(3):
         assert np.all(np.isfinite(np.asarray(sim.P[l]))), f"level {l}"
     assert sim.t > 0
+
+
+def test_icgen_equilibrate_mp(tmp_path):
+    """icgen chemistry equilibration (reference: icgen.cpp:216
+    equilibrate_MP): with EP_chemistry on, ion fractions are integrated
+    to equilibrium at fixed energy before the IC snapshot is written —
+    cold dense neutral gas settles at the cosmic-ray ionization balance,
+    not the hand-set seed value."""
+    import numpy as np
+
+    from pion_tpu.cli import icgen_main
+    from pion_tpu.constants import PG as iPG, RO as iRO
+
+    base = """ics Uniform
+ndim 2
+coordinates cartesian
+eqn euler
+solver 4
+OrderOfAccSpace 2
+OrderOfAccTime 2
+GAMMA 1.666666666666667
+CFL 0.3
+ntracer 1
+Tracer000 H1+
+chem_code MPv3
+EP_chemistry 1
+EP_Min_Temperature 10.0
+EP_Max_Temperature 1.0e9
+UNIFORM_ambRO 2.34e-22
+UNIFORM_ambPG 3.3e-12
+UNIFORM_ambVX 0.0
+UNIFORM_ambVY 0.0
+UNIFORM_ambVZ 0.0
+UNIFORM_ambTR0 1.0e-6
+OutputPath {path}/
+OutputFile eqtest
+OutputFileType npz
+OutputCriterion 0
+OutputFrequency 0
+StartTime 0.0
+FinishTime 1.0e12
+NGridX 8
+NGridY 8
+Xmin 0.0
+Ymin 0.0
+Xmax 3.0e18
+Ymax 3.0e18
+BC_XN outflow
+BC_XP outflow
+BC_YN outflow
+BC_YP outflow
+BC_Ninternal 0
+RT_Nsources 0
+"""
+    pf = tmp_path / "eq.txt"
+    pf.write_text(base.format(path=tmp_path))
+    snap = icgen_main([str(pf)])
+    from pion_tpu.io.snapshot import load_snapshot
+
+    cfg, P, _, _ = load_snapshot(snap)
+    x = P[cfg.eqn.nbase]
+    # equilibrium, not the seed: cosmic-ray ionization vs recombination
+    # at nH ~ 100 gives x ~ 1e-4..1e-2
+    assert np.all(np.isfinite(P))
+    assert float(x.min()) > 5.0e-6 and float(x.max()) < 0.5
+    # energy held fixed during equilibration (update_erg=false)
+    np.testing.assert_allclose(P[iPG], 3.3e-12, rtol=1e-6)
+
+    # InitIons NO skips the pass (reference: icgen_base.cpp:161)
+    pf2 = tmp_path / "eq_no.txt"
+    pf2.write_text(base.format(path=tmp_path) + "InitIons NO\n")
+    snap2 = icgen_main([str(pf2), "OutputFile=eqtest2"])
+    _, P2, _, _ = load_snapshot(snap2)
+    np.testing.assert_allclose(P2[cfg.eqn.nbase], 1.0e-6, rtol=1e-8)

@@ -63,6 +63,7 @@ EP_coll_ionisation   1
 EP_rad_recombination 1
 EP_MP_timestep_limit 1
 EP_Min_Temperature 1.0e2
+InitIons NO
 Tracer000 H1+
 UNIFORM_ambTR0 1.0e-6
 RT_Nsources 1
