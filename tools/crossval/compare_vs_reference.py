@@ -42,6 +42,41 @@ def run_case(name, ref_file, eqn, solver, gamma, tmax, L, R, x0, nsteps_ref):
         print(f"  {nm}: rel L1={l1:.3e}  max={mx:.3e}")
     return worst
 
+def run_case_2d(name, ic_file, ref_file, eqn, solver, gamma, tmax,
+                n, nsteps_ref):
+    """2D crossval: start from the reference binary's OWN t=0 text
+    snapshot (exact same ICs incl. its 32x32 subcell interface averaging,
+    dataio_text.cpp:640-695), evolve with pion_tpu, compare at the end
+    time.  Text columns: x y rho pg vx vy vz [...] (x fastest)."""
+    ic = np.loadtxt(ic_file)
+    ref = np.loadtxt(ref_file)
+    cfg = SimConfig(ndim=2, eqn=eqn, solver=solver, gamma=gamma,
+                    shape=(n, n), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, cfl=0.7, ooa=2,
+                    av="falle", etav=0.3, tmax=tmax, dtype="float64")
+
+    def to_grid(col):
+        return col.reshape(n, n)  # rows: y slow, x fast -> (y, x)
+
+    P0 = np.zeros((cfg.nvar, n, n))
+    for slot, col in ((RO, 2), (PG, 3), (VX, 4), (VX + 1, 5), (VX + 2, 6)):
+        P0[slot] = to_grid(ic[:, col])
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    out = np.asarray(sim.P)
+    print(f"== {name}: t={sim.t:.4f} steps={sim.step_count} (ref {nsteps_ref})")
+    worst = 0.0
+    for nm, (slot, col) in {"rho": (RO, 2), "pg": (PG, 3), "vx": (VX, 4),
+                            "vy": (VX + 1, 5)}.items():
+        a, b = out[slot], to_grid(ref[:, col])
+        scale = max(np.abs(b).max(), 1e-300)
+        l1 = np.abs(a - b).mean() / scale
+        mx = np.abs(a - b).max() / scale
+        worst = max(worst, l1)
+        print(f"  {nm}: rel L1={l1:.3e}  max={mx:.3e}")
+    return worst
+
+
 w = []
 w.append(run_case("Toro1 (hybrid)", "/tmp/refrun/toro1ref.00000156.txt",
                   Eqn.EULER, "hybrid", 1.4, 0.2,
@@ -55,6 +90,10 @@ w.append(run_case("BrioWu (i-mhd HLLD)", "/tmp/refrun/bwref.00000139.txt",
                   Eqn.MHD, "hlld", 2.0, 0.12,
                   [1.0, 1.0, 0, 0, 0, 0.75, 1.0, 0],
                   [0.125, 0.1, 0, 0, 0, 0.75, -1.0, 0], 0.5, 139))
+w.append(run_case_2d("Toro1 2D oblique 40deg (hybrid)",
+                     "/tmp/refrun/toro1_2dref.00000000.txt",
+                     "/tmp/refrun/toro1_2dref.00000056.txt",
+                     Eqn.EULER, "hybrid", 1.4, 0.1, 128, 56))
 print(f"worst-case rel L1 across cases: {max(w):.3e}")
 assert max(w) < 2e-2, "cross-validation L1 above gate"
 print("CROSSVAL OK")
