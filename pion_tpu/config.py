@@ -63,6 +63,11 @@ class SimConfig:
     # fused Pallas sweep path: "auto" (TPU backends only), "on", "off",
     # or "interpret" (for CPU correctness tests)
     pallas: str = "auto"
+    # multi-chip halo strategy: "gspmd" lets XLA infer collectives from
+    # NamedSharding; "explicit" uses the hand-scheduled shard_map +
+    # ppermute path (parallel/halo.py — Cartesian pure-dynamics only,
+    # the MCMD_boundaries equivalent)
+    halo: str = "gspmd"
     # HLLD->HLL switch in compressive strong-gradient zones (Mignone+ 2011;
     # reference behavior).  Disable to trade robustness for ~25% step speed.
     hlld_fallback: bool = True

@@ -161,6 +161,9 @@ def config_from_params(params: Dict[str, str], **extra) -> SimConfig:
         # run-time param (functionality_flags.h); float64 matches upstream
         # defaults, float32 is the TPU production mode
         dtype=str(gf(["dtype", "pion_flt"], "float64")).strip(),
+        # extension keys (not in the reference dialect): kernel/halo modes
+        pallas=str(gf(["pallas"], "auto")).strip(),
+        halo=str(gf(["halo"], "gspmd")).strip(),
         **extra,
     )
     return cfg

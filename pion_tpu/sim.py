@@ -70,11 +70,52 @@ class Simulation:
             # assign_boundary_data for STWIND at setup)
             if self.physics.winds:
                 self.P = self.physics.apply_internal_bcs(self.P, self.t)
-        self.fns = make_step_fns(self.cfg, self.geom, self.bdata,
-                                 physics=self.physics)
+        if self.cfg.halo == "explicit":
+            self.fns = self._make_explicit_halo_fns()
+        else:
+            self.fns = make_step_fns(self.cfg, self.geom, self.bdata,
+                                     physics=self.physics)
         self._ckpt_flip = 0
         self._writer = None  # lazy AsyncSnapshotWriter
         self._next_optime = self.t + self.opfreq_time
+
+    def _make_explicit_halo_fns(self):
+        """Production wiring of the hand-scheduled shard_map halo path
+        (parallel/halo.py — the MCMD_boundaries equivalent): explicit
+        ppermute ghost exchange + pmin dt instead of GSPMD-inferred
+        collectives.  Cartesian pure-dynamics scope; the step is the same
+        fused dt+advance contract as the GSPMD path."""
+        import jax
+
+        from .parallel.halo import make_sharded_step, supports
+        from .parallel.mesh import make_mesh, shard_state
+        from .stepper import StepFns
+
+        if self.physics is not None:
+            raise NotImplementedError(
+                "halo='explicit' supports pure dynamics only "
+                "(chemistry/RT/winds ride the GSPMD path)")
+        if not supports(self.cfg):
+            raise NotImplementedError(
+                "halo='explicit' requires local-data BCs "
+                "(periodic/outflow/oneway/reflecting/jetreflect/axisym)")
+        mesh = make_mesh(self.cfg)
+        self.mesh = mesh
+        self.P = shard_state(self.P, mesh, self.cfg)
+        adv, calc_dt = make_sharded_step(self.cfg, self.geom, mesh,
+                                         self.bdata)
+
+        @jax.jit
+        def _step(P, t, last_dt, dt_cap, sp=None):
+            dt_raw = calc_dt(P)
+            dt = jnp.where(last_dt > 0.0,
+                           jnp.minimum(dt_raw,
+                                       self.cfg.max_dt_growth * last_dt),
+                           dt_raw)
+            dt = jnp.minimum(dt, dt_cap)
+            return adv(P, dt, t), dt, dt_raw
+
+        return StepFns(advance=adv, calc_dt=calc_dt, step=_step)
 
     @classmethod
     def restart(cls, path: str, **kw) -> "Simulation":
