@@ -332,6 +332,192 @@ class PointSourceTracer:
         return tau_entry.reshape(dtau.shape)
 
 
+class PointSourcePlaneTracer:
+    """Cube-shell (L-inf) plane-sweep point-source tracer.
+
+    Same C2Ray interpolation as :class:`PointSourceTracer`, reorganized
+    for the TPU: instead of 3N sequential L1 shells of gather/scatter
+    work (gathers run ~20M elem/s on TPU), the sweep scans Chebyshev
+    shells max(|di|,|dj|,|dk|) = m — at most max(N_a) steps — and each
+    step updates the 6 (2D: 4) cube faces as DENSE plane operations:
+    one dynamic_slice of the plane one step closer to the source, per-cell
+    perp shifts expressed as rolls + static sign masks, and one
+    dynamic_update_slice back.  No dynamic gathers at all; under GSPMD the
+    rolls lower to collective-permutes (the causal-pipeline equivalent of
+    the reference's raytracer_SC_pllel.cpp:156-221).
+
+    Correct ordering: a face cell's upstream neighbors (c1..c4) sit either
+    in shell m-1 or — for edge/corner cells, whose major-axis preference
+    is x>y>z — in a LOWER-preference face of the same shell; updating the
+    faces in ascending array-axis order (z, then y, then x) therefore
+    satisfies every dependency (values are bitwise the ones the L1-shell
+    scan computes, since each cell applies the same formula to the same
+    upstream cells)."""
+
+    def __init__(self, cfg: SimConfig, geom: Geometry, pos: Tuple[float, ...],
+                 tau_min: float = 0.7):
+        self.cfg = cfg
+        self.tau_min = tau_min * (6.0 / 7.0 if cfg.ndim == 3 else 1.0)
+        nd = cfg.ndim
+        assert nd >= 2, "plane sweep needs >= 2 dimensions (1D: shell scan)"
+        shape = cfg.shape
+        dx = geom.dx
+        ng = cfg.ng
+
+        centers = [g.pos[ng:-ng] for g in geom.axes]
+        src_idx = [int(np.clip(np.argmin(np.abs(centers[a] - pos[a])),
+                               0, shape[a] - 1)) for a in range(nd)]
+        self.src_idx = tuple(src_idx)
+        self.src_pos = np.array([centers[a][src_idx[a]] for a in range(nd)])
+
+        grids = np.meshgrid(*[np.arange(n) for n in shape], indexing="ij")
+        d = [g - s for g, s in zip(grids, src_idx)]
+        ad = [np.abs(x) for x in d]
+        p = sum(ad)
+        order = list(range(nd - 1, -1, -1))  # prefer x, then y, then z
+        maj = np.full(shape, order[0])
+        best = ad[order[0]].copy()
+        for a in order[1:]:
+            take = ad[a] > best
+            maj = np.where(take, a, maj)
+            best = np.where(take, ad[a], best)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            deltas = [np.where(best > 0, adk / np.maximum(best, 1), 0.0)
+                      for adk in ad]
+        sum_d2 = sum(dk * dk for dk in deltas) - 1.0
+        ds = dx * np.sqrt(1.0 + np.maximum(sum_d2, 0.0))
+        ds = np.where(p == 0, 0.5 * dx, ds)
+        self.ds = ds
+        r_cell = np.sqrt(sum((dd * dx) ** 2 for dd in d))
+        rs = np.maximum(r_cell - 0.5 * ds, 0.0)
+        self.vshell = 4.0 * np.pi * ((rs + ds) ** 3 - rs**3) / 3.0
+
+        # interpolation deltas aligned to each cell's major axis: first =
+        # lowest non-major axis, second = the other (3D)
+        if nd == 2:
+            mino = np.minimum(ad[0], ad[1])
+            delta0 = np.where(best > 0, mino / np.maximum(best, 1), 0.0)
+            delta1 = np.zeros_like(delta0)
+        else:
+            firsts, seconds = [], []
+            for a in range(nd):
+                others = [b for b in range(nd) if b != a]
+                firsts.append(others[0])
+                seconds.append(others[1])
+            first_ax = np.choose(maj, firsts)
+            second_ax = np.choose(maj, seconds)
+            delta0 = np.choose(first_ax, deltas)
+            delta1 = np.choose(second_ax, deltas)
+
+        if nd == 2:
+            min_off = np.minimum(ad[0], ad[1])
+        else:
+            min_off = np.sort(np.stack(ad), axis=0)[1]
+        on_axis = (min_off == 0) & (p > 0)
+        m = best.astype(float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.sqrt((m * m + 0.25) / ((m - 1) ** 2 + 0.25)) * \
+                np.where(m > 0, (m - 1) / np.maximum(m, 1), 0.0)
+        corr = np.where((m < 10) & (m >= 1), corr, 1.0)
+
+        self._maj_mask = [jnp.asarray(maj == a) for a in range(nd)]
+        self._delta0 = jnp.asarray(delta0)
+        self._delta1 = jnp.asarray(delta1)
+        self._on_axis = jnp.asarray(on_axis)
+        self._corr = jnp.asarray(np.where(on_axis, corr, 1.0))
+        # per-axis offset signs as broadcastable 1D arrays
+        self._sgn1d = []
+        for a in range(nd):
+            s1 = np.sign(np.arange(shape[a]) - src_idx[a]).astype(np.int8)
+            sh = [1] * nd
+            sh[a] = shape[a]
+            self._sgn1d.append(jnp.asarray(s1.reshape(sh)))
+        self.n_steps = int(max(max(src_idx[a], shape[a] - 1 - src_idx[a])
+                               for a in range(nd)))
+
+    @staticmethod
+    def _shift_toward(arr, sgn_b, axis):
+        """Per-cell neighbor value one step toward the source along
+        ``axis``: out[i] = arr[i - sgn(i)] (sgn constant along the other
+        axes, so the composition of per-axis selections is exact)."""
+        plus = jnp.roll(arr, 1, axis)    # arr[i-1]
+        minus = jnp.roll(arr, -1, axis)  # arr[i+1]
+        return jnp.where(sgn_b > 0, plus, jnp.where(sgn_b < 0, minus, arr))
+
+    def trace(self, dtau: jnp.ndarray):
+        """Returns tau_entry (optical depth to each cell's entry point)."""
+        nd = self.cfg.ndim
+        shape = self.cfg.shape
+        src = self.src_idx
+        tmin = self.tau_min
+        col0 = jnp.zeros_like(dtau)
+        col0 = col0.at[src].set(dtau[src])
+
+        def face_pass(col, a, s, m_):
+            n_a = shape[a]
+            idx = src[a] + s * m_
+            valid = (idx >= 0) & (idx <= n_a - 1)
+            idx_c = jnp.clip(idx, 0, n_a - 1)
+            prev_c = jnp.clip(idx - s, 0, n_a - 1)
+            prev = jax.lax.dynamic_slice_in_dim(col, prev_c, 1, axis=a)
+            cur = jax.lax.dynamic_slice_in_dim(col, idx_c, 1, axis=a)
+
+            def sl(arr):
+                return jax.lax.dynamic_slice_in_dim(arr, idx_c, 1, axis=a)
+
+            mask = sl(self._maj_mask[a])
+            dt_pl = sl(dtau)
+            d0 = sl(self._delta0)
+            oa = sl(self._on_axis)
+            corr = sl(self._corr)
+            perp = [b for b in range(nd) if b != a]
+            c1 = prev
+            if nd == 2:
+                p1 = perp[0]
+                s1 = jax.lax.dynamic_slice_in_dim(
+                    jnp.broadcast_to(self._sgn1d[p1], shape), idx_c, 1,
+                    axis=a)
+                c2 = self._shift_toward(prev, s1, p1)
+                w1 = (1.0 - d0) / jnp.maximum(tmin, c1)
+                w2 = d0 / jnp.maximum(tmin, c2)
+                tau_in = (w1 * c1 + w2 * c2) / (w1 + w2)
+            else:
+                p1, p2 = perp  # ascending: first = lowest non-major axis
+                d1 = sl(self._delta1)
+                s1 = jax.lax.dynamic_slice_in_dim(
+                    jnp.broadcast_to(self._sgn1d[p1], shape), idx_c, 1,
+                    axis=a)
+                s2 = jax.lax.dynamic_slice_in_dim(
+                    jnp.broadcast_to(self._sgn1d[p2], shape), idx_c, 1,
+                    axis=a)
+                c2 = self._shift_toward(prev, s1, p1)
+                c3 = self._shift_toward(prev, s2, p2)
+                c4 = self._shift_toward(c2, s2, p2)
+                w1 = (1.0 - d0) * (1.0 - d1) / jnp.maximum(tmin, c1)
+                w2 = d0 * (1.0 - d1) / jnp.maximum(tmin, c2)
+                w3 = (1.0 - d0) * d1 / jnp.maximum(tmin, c3)
+                w4 = d0 * d1 / jnp.maximum(tmin, c4)
+                tau_in = (w1 * c1 + w2 * c2 + w3 * c3 + w4 * c4) / (
+                    w1 + w2 + w3 + w4)
+            tau_in = jnp.where(oa, c1 * corr, tau_in)
+            new = tau_in + dt_pl
+            plane = jnp.where(mask & valid, new, cur)
+            return jax.lax.dynamic_update_slice_in_dim(col, plane, idx_c,
+                                                       axis=a)
+
+        def shell_step(col, m_):
+            # ascending axis order satisfies the edge/corner dependencies
+            for a in range(nd):
+                for s in (-1, 1):
+                    col = face_pass(col, a, s, m_)
+            return col, None
+
+        col, _ = jax.lax.scan(shell_step, col0,
+                              jnp.arange(1, self.n_steps + 1))
+        return col - dtau
+
+
 class Raytracer:
     """Per-step driver: computes the rt dict each chemistry module consumes
     (the RayTrace_SingleSource + rt_source_data assembly equivalent,
@@ -344,8 +530,12 @@ class Raytracer:
         self.point_tracers = {}
         for i, s in enumerate(self.sources):
             if not s.at_infinity:
-                self.point_tracers[i] = PointSourceTracer(
-                    cfg, geom, s.position, s.tau_min)
+                # 2D/3D: dense plane sweep (no dynamic gathers); 1D keeps
+                # the L1-shell scan (already two trivial directional rays)
+                cls = (PointSourcePlaneTracer if cfg.ndim >= 2
+                       else PointSourceTracer)
+                self.point_tracers[i] = cls(cfg, geom, s.position,
+                                            s.tau_min)
 
     def trace_source(self, i: int, dtau: jnp.ndarray):
         s = self.sources[i]

@@ -112,3 +112,32 @@ def test_stromgren_sphere_1d():
     r_front = r[idx]
     assert abs(r_front - r_s) / r_s < 0.15, (
         f"front at {r_front:.3e}, Stromgren {r_s:.3e}")
+
+
+def test_plane_sweep_matches_shell_scan():
+    """The Chebyshev-shell plane sweep (production 2D/3D tracer) computes
+    bitwise the same columns as the L1-shell gather/scatter scan: same
+    per-cell formula, same upstream cells, different (but equally valid)
+    topological order."""
+    from pion_tpu.raytracing.tracer import (PointSourcePlaneTracer,
+                                            PointSourceTracer)
+
+    rng = np.random.default_rng(3)
+    for nd, n, pos in [(2, 32, (1.51e18, 1.48e18)),
+                       (2, 33, (0.3e18, 2.6e18)),
+                       (3, 16, (1.5e18,) * 3),
+                       (3, 20, (0.2e18, 2.8e18, 1.1e18))]:
+        cfg = SimConfig(ndim=nd, eqn="euler", solver="hll",
+                        shape=(n,) * nd, xmin=(0.0,) * nd,
+                        xmax=(3.0e18,) * nd,
+                        bcs=(("outflow", "outflow"),) * nd, tmax=1.0)
+        geom = make_geometry(cfg)
+        dtau = jnp.asarray(rng.random((n,) * nd) * 0.5)
+        t_shell = PointSourceTracer(cfg, geom, pos)
+        t_plane = PointSourcePlaneTracer(cfg, geom, pos)
+        a = np.asarray(t_shell.trace(dtau))
+        b = np.asarray(t_plane.trace(dtau))
+        np.testing.assert_allclose(b, a, rtol=1e-13, atol=0.0,
+                                   err_msg=f"nd={nd} n={n}")
+        np.testing.assert_allclose(t_plane.ds, t_shell.ds)
+        np.testing.assert_allclose(t_plane.vshell, t_shell.vshell)
