@@ -327,42 +327,49 @@ class MPv3:
         omx_dot -= f1("cirh") * ne * omx
         Edot -= f1("C_cih0") * ne * omx
 
-        # photoionization
+        # photoionization — summed over ionizing sources (per-source column
+        # sets in rt["ion"]; reference: calc_microphysics_dU loops
+        # FVI_ionising_srcs, rad_src_data.h per-source Tau slots).  A plain
+        # rt dict without "ion" is treated as one source (default_rt, and
+        # direct mp.update(..., rt=...) callers).
         if c.ion_src is not None:
-            dtau_cur = nH * rt["ds"] * omx * SIGMA0
-            tau0 = rt["tau0"]
-            vshell = rt["vshell"]
-            if c.ion_src == "mono":
-                frac = 1.0  # sigma(E)/sigma0 at threshold ~ 1 for 18.6eV? no:
-                frac = float(TB.hi_xsection_fractional(E_MONO))
-                dtau = dtau_cur * frac
-                # nv = Ndot/Vshell, precomputed on host at f64 so neither
-                # factor is materialized at f32 (both overflow; ratio doesn't)
-                nv = rt.get("nv", None)
-                if nv is None:
-                    nv = rt["n_idot"] / vshell
-                rate = nv * jnp.exp(-tau0 * frac)
-                rate = rate * jnp.where(
-                    dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
-                omx_dot -= rate
-                Edot += rate * E_EXCESS
-            else:  # mfion (reference: Hi_discrete_multifreq_* :101-155)
-                # tables are peak-normalized (see _build_tables); sv restores
-                # the scale divided by Vshell, f32-safe
-                sv = rt.get("sv", None)
-                if sv is None:
-                    sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) / vshell
-
-                r0, r1 = self._tau_lookup(tau0, dtau_cur,
-                                          stack=rt.get("tau_stack"))
-                big = r0[..., 0] - r1[..., 0]
-                small = r0[..., 2] * dtau_cur / (SIGMA0 * nH)
-                pir = jnp.where(dtau_cur < 0.01, small, big) * sv / nH
-                bigh = r0[..., 1] - r1[..., 1]
-                smallh = r0[..., 3] * dtau_cur / (SIGMA0 * nH)
-                pih = jnp.where(dtau_cur < 0.01, smallh, bigh) * sv / nH
-                omx_dot -= pir
-                Edot += pih
+            entries = rt.get("ion")
+            if entries is None:
+                entries = (rt,)
+            for e in entries:
+                dtau_cur = nH * e["ds"] * omx * SIGMA0
+                tau0 = e["tau0"]
+                if c.ion_src == "mono":
+                    frac = float(TB.hi_xsection_fractional(E_MONO))
+                    dtau = dtau_cur * frac
+                    # nv = Ndot/Vshell, precomputed on host at f64 so
+                    # neither factor is materialized at f32 (both
+                    # overflow; the ratio doesn't)
+                    nv = e.get("nv", None)
+                    if nv is None:
+                        nv = e["n_idot"] / e["vshell"]
+                    rate = nv * jnp.exp(-tau0 * frac)
+                    rate = rate * jnp.where(
+                        dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
+                    omx_dot -= rate
+                    Edot += rate * E_EXCESS
+                else:  # mfion (reference: Hi_discrete_multifreq_*:101-155)
+                    # tables are peak-normalized (see _build_tables); sv
+                    # restores the scale divided by Vshell, f32-safe
+                    sv = e.get("sv", None)
+                    if sv is None:
+                        sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) \
+                            / e["vshell"]
+                    r0, r1 = self._tau_lookup(tau0, dtau_cur,
+                                              stack=e.get("tau_stack"))
+                    big = r0[..., 0] - r1[..., 0]
+                    small = r0[..., 2] * dtau_cur / (SIGMA0 * nH)
+                    pir = jnp.where(dtau_cur < 0.01, small, big) * sv / nH
+                    bigh = r0[..., 1] - r1[..., 1]
+                    smallh = r0[..., 3] * dtau_cur / (SIGMA0 * nH)
+                    pih = jnp.where(dtau_cur < 0.01, smallh, bigh) * sv / nH
+                    omx_dot -= pir
+                    Edot += pih
 
         # recombination + cooling
         omx_dot += f1("rrhp") * x * ne
@@ -572,12 +579,18 @@ class MPv3:
                 def sub(a):
                     return a.ravel()[gidx]
 
-                rt_sub = {
-                    k: (sub(v) if hasattr(v, "shape")
-                        and tuple(getattr(v, "shape", ())) == grid_shape
-                        else v)
-                    for k, v in rt_a.items()
-                }
+                def sub_tree(v):
+                    # rt may nest per-source dicts under "ion"
+                    if isinstance(v, dict):
+                        return {k2: sub_tree(v2) for k2, v2 in v.items()}
+                    if isinstance(v, (tuple, list)):
+                        return tuple(sub_tree(v2) for v2 in v)
+                    if (hasattr(v, "shape")
+                            and tuple(getattr(v, "shape", ())) == grid_shape):
+                        return sub(v)
+                    return v
+
+                rt_sub = {k: sub_tree(v) for k, v in rt_a.items()}
                 o1, e1 = self._stiff_solve(sub(omx_a), sub(E_a), sub(nH_a),
                                            rt_sub, dt, stiffness=stiffness)
                 o_out = omx_a.ravel().at[idx].set(o1, mode="drop")

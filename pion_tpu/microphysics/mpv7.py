@@ -79,13 +79,18 @@ class MPv7(JitCachedMP):
         omx_dot = c.recomb_rate * x * ne
         if c.ion_src == "mono":
             frac = float(TB.hi_xsection_fractional(E_MONO))
-            dtau = nH * rt["ds"] * omx * SIGMA0 * frac
-            nv = rt.get("nv", None)
-            if nv is None:
-                nv = rt["n_idot"] / rt["vshell"]
-            rate = nv * jnp.exp(-rt["tau0"] * frac)
-            rate = rate * jnp.where(dtau < 1e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
-            omx_dot = omx_dot - rate
+            entries = rt.get("ion")
+            if entries is None:
+                entries = (rt,)
+            for e in entries:  # summed per-source columns (rad_src_data.h)
+                dtau = nH * e["ds"] * omx * SIGMA0 * frac
+                nv = e.get("nv", None)
+                if nv is None:
+                    nv = e["n_idot"] / e["vshell"]
+                rate = nv * jnp.exp(-e["tau0"] * frac)
+                rate = rate * jnp.where(dtau < 1e-4, dtau,
+                                        1.0 - jnp.exp(-dtau)) / nH
+                omx_dot = omx_dot - rate
         return omx_dot
 
     def _update_impl(self, P, dt, cfg: SimConfig, rt: Dict):

@@ -75,45 +75,54 @@ class MPv5(MPv3):
         omx_dot -= f1("cirh") * ne * omx
         Edot -= f1("C_cih0") * ne * omx
 
-        # photoionization (same discrete rates as MPv3, inlined)
+        # photoionization (same discrete rates as MPv3, inlined; summed
+        # over per-source column sets like mpv3.ydot)
         if c.ion_src is not None:
             from .mpv3 import E_EXCESS, E_MONO, SIGMA0
             from . import tables as TB
 
-            dtau_cur = nH * rt["ds"] * omx * SIGMA0
-            tau0 = rt["tau0"]
-            vshell = rt["vshell"]
-            if c.ion_src == "mono":
-                frac = float(TB.hi_xsection_fractional(E_MONO))
-                dtau = dtau_cur * frac
-                nv = rt.get("nv", None)
-                if nv is None:
-                    nv = rt["n_idot"] / vshell
-                rate = nv * jnp.exp(-tau0 * frac)
-                rate = rate * jnp.where(
-                    dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
-                omx_dot -= rate
-                Edot += rate * E_EXCESS
-            else:
-                lg = tb["log_tau"]
-                tmin, tmax = self.tau_bounds
-                sv = rt.get("sv", None)
-                if sv is None:
-                    sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) / vshell
+            entries = rt.get("ion")
+            if entries is None:
+                entries = (rt,)
+            for e in entries:
+                dtau_cur = nH * e["ds"] * omx * SIGMA0
+                tau0 = e["tau0"]
+                if c.ion_src == "mono":
+                    frac = float(TB.hi_xsection_fractional(E_MONO))
+                    dtau = dtau_cur * frac
+                    nv = e.get("nv", None)
+                    if nv is None:
+                        nv = e["n_idot"] / e["vshell"]
+                    rate = nv * jnp.exp(-tau0 * frac)
+                    rate = rate * jnp.where(
+                        dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
+                    omx_dot -= rate
+                    Edot += rate * E_EXCESS
+                else:
+                    lg = tb["log_tau"]
+                    tmin, tmax = self.tau_bounds
+                    sv = e.get("sv", None)
+                    if sv is None:
+                        sv = jnp.exp(TB.LOGTEN * self.rate_scale_log) \
+                            / e["vshell"]
 
-                def lookup(name, tau):
-                    t_ = jnp.clip(tau, tmin, tmax)
-                    return jnp.exp(TB.LOGTEN * _interp1(lg, tb[name],
-                                                        jnp.log10(t_)))
+                    def lookup(name, tau):
+                        t_ = jnp.clip(tau, tmin, tmax)
+                        return jnp.exp(TB.LOGTEN * _interp1(lg, tb[name],
+                                                            jnp.log10(t_)))
 
-                big = lookup("pi_rate", tau0) - lookup("pi_rate",
-                                                       tau0 + dtau_cur)
-                small = lookup("lt_pi_rate", tau0) * dtau_cur / (SIGMA0 * nH)
-                omx_dot -= jnp.where(dtau_cur < 0.01, small, big) * sv / nH
-                bigh = lookup("pi_heat", tau0) - lookup("pi_heat",
-                                                        tau0 + dtau_cur)
-                smallh = lookup("lt_pi_heat", tau0) * dtau_cur / (SIGMA0 * nH)
-                Edot += jnp.where(dtau_cur < 0.01, smallh, bigh) * sv / nH
+                    big = lookup("pi_rate", tau0) - lookup("pi_rate",
+                                                           tau0 + dtau_cur)
+                    small = lookup("lt_pi_rate", tau0) * dtau_cur \
+                        / (SIGMA0 * nH)
+                    omx_dot -= jnp.where(dtau_cur < 0.01, small, big) \
+                        * sv / nH
+                    bigh = lookup("pi_heat", tau0) - lookup("pi_heat",
+                                                            tau0 + dtau_cur)
+                    smallh = lookup("lt_pi_heat", tau0) * dtau_cur \
+                        / (SIGMA0 * nH)
+                    Edot += jnp.where(dtau_cur < 0.01, smallh, bigh) \
+                        * sv / nH
 
         # recombination + cooling, He free-free, H0 excitation
         omx_dot += f1("rrhp") * x * ne

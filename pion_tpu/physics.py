@@ -34,14 +34,29 @@ class Physics:
     winds: List = dataclasses.field(default_factory=list)
 
     def setup(self, cfg: SimConfig, geom: Geometry):
-        n_ion = sum(1 for s in self.sources if s.effect in ("mono", "mfion"))
-        if n_ion > 1:
-            # the rt dict carries ONE ionizing-source column set; a second
-            # would silently overwrite the first (reference supports
-            # per-source column slots, rad_src_data.h:27-76 — not yet here)
+        # N ionizing sources are supported with per-source column sets
+        # (reference: rad_src_data.h:27-76 per-source Tau slots), as long
+        # as they share one rate model (all mono or all mfion)
+        effects = {s.effect for s in self.sources
+                   if s.effect in ("mono", "mfion")}
+        if len(effects) > 1:
             raise NotImplementedError(
-                f"{n_ion} ionizing sources configured; only one ionizing "
-                "(mono/mfion) source is supported per run")
+                "mixed mono+mfion ionizing sources in one run are not "
+                "supported (the chemistry module has one rate model)")
+        # per-source mfion tables for sources with their own (Tstar, Rstar)
+        # (reference: set_multifreq_source_properties is per source,
+        # MPv3.cpp:431)
+        self._src_static = {}
+        if self.mp is not None and effects == {"mfion"}:
+            for i, s in enumerate(self.sources):
+                if s.effect == "mfion" and s.tstar > 0.0:
+                    mpc = self.mp.mpc
+                    if (abs(s.tstar - mpc.tstar) > 1e-6 * s.tstar
+                            or abs(s.rstar_cm - mpc.rstar_cm)
+                            > 1e-6 * max(s.rstar_cm, 1.0)):
+                        stack, ls = self.mp.set_multifreq_source_properties(
+                            s.tstar, s.rstar_cm)
+                        self._src_static[i] = {"stack": stack, "ls": ls}
         if self.sources and self.raytracer is None:
             self.raytracer = Raytracer(cfg, geom, self.sources)
         if self.wind_sources and not self.winds:
@@ -118,8 +133,12 @@ class Physics:
                 if src.effect == "mfion":
                     stack, ls = self.mp.set_multifreq_source_properties(T, R)
                     st["tau_stack"] = stack
-                    st["rel"] = float(np.exp(
-                        np.log(10.0) * (ls - self.mp.rate_scale_log)))
+                    # rel is relative to whatever log-scale raytrace bakes
+                    # into sv for THIS source (its own static table's peak
+                    # if it has one, else the module's)
+                    base = getattr(self, "_src_static", {}).get(
+                        i, {}).get("ls", self.mp.rate_scale_log)
+                    st["rel"] = float(np.exp(np.log(10.0) * (ls - base)))
                 elif src.effect == "uv_heating":
                     # reference's FUV-strength prescription
                     # (setup_fixed_grid.cpp:769-772)
@@ -173,18 +192,29 @@ class Physics:
             if rel is not None:
                 nv = nv * rel
             if src.effect in ("mono", "mfion"):
-                ls = getattr(self.mp, "rate_scale_log", 0.0)
+                static = getattr(self, "_src_static", {}).get(i)
+                ls = (static["ls"] if static is not None
+                      else getattr(self.mp, "rate_scale_log", 0.0))
                 sv = jnp.asarray(
                     np.exp(np.log(10.0) * (ls - np.log10(vsh_np))),
                     dtype=Ph.dtype)
                 if rel is not None:
                     sv = sv * rel
-                rt.update(tau0=tau, ds=ds, vshell=vshell,
-                          n_idot=src.strength, nv=nv, sv=sv)
+                entry = {"tau0": tau, "ds": ds, "nv": nv, "sv": sv}
+                if static is not None:
+                    entry["tau_stack"] = static["stack"].astype(Ph.dtype)
                 if sp is not None and str(i) in sp \
                         and "tau_stack" in sp[str(i)]:
-                    rt["tau_stack"] = \
+                    entry["tau_stack"] = \
                         sp[str(i)]["tau_stack"].astype(Ph.dtype)
+                rt.setdefault("ion", ())
+                rt["ion"] = rt["ion"] + (entry,)
+                # legacy single-source top-level fields (first entry)
+                if "tau0" not in rt:
+                    rt.update(tau0=tau, ds=ds, vshell=vshell,
+                              n_idot=src.strength, nv=nv, sv=sv)
+                    if "tau_stack" in entry:
+                        rt["tau_stack"] = entry["tau_stack"]
             else:  # uv_heating (Henney+09 A3/A6 attenuation; /1.2e7 norm)
                 if src.at_infinity:
                     # diffuse field: solid-angle weighted

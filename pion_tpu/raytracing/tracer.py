@@ -85,6 +85,11 @@ class Source:
     # stellar-evolution table driving (strength, Teff, Rstar) in time
     # (reference: rad_src_info.EvoFile, rad_src_data.h:66)
     evolution: Optional[StarEvolution] = None
+    # per-source stellar properties for mfion (reference:
+    # rad_src_info.Tstar/Rstar, rad_src_data.h:44-46) — 0 means "use the
+    # chemistry module's setup-time table"
+    tstar: float = 0.0
+    rstar_cm: float = 0.0
 
 
 def parallel_rays(dtau: jnp.ndarray, axis: int, sign: int, dx: float):
