@@ -271,14 +271,27 @@ class MPv3:
         if stack is None:
             stack = self.tab["tau_stack"]
         tmin, tmax = self.tau_bounds
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu:
+            # augmented [row_i, row_{i+1}] table so ONE one-hot matmul per
+            # tau point fetches both interpolation endpoints on the MXU
+            # (same trick as _t1_lookup; dynamic row gathers are ~3x slower)
+            aug = jnp.concatenate(
+                [stack, jnp.concatenate([stack[1:], stack[-1:]])], axis=-1)
 
         def rows(tau):
             lt = jnp.log10(jnp.clip(tau, tmin, tmax))
             f = (lt - self._ltau0) * self._inv_dltau
             i = jnp.clip(f.astype(jnp.int32), 0, self._n_tau - 2)
             w = (f - i.astype(f.dtype))[..., None]
-            lo = stack[i]
-            hi = stack[i + 1]
+            if on_tpu:
+                m = stack.shape[-1]
+                oh = jax.nn.one_hot(i.ravel(), self._n_tau, dtype=f.dtype)
+                both = (oh @ aug).reshape(i.shape + (2 * m,))
+                lo, hi = both[..., :m], both[..., m:]
+            else:
+                lo = stack[i]
+                hi = stack[i + 1]
             v = lo + jnp.clip(w, 0.0, 1.0) * (hi - lo)
             return jnp.exp(TB.LOGTEN * v)
 
@@ -435,7 +448,7 @@ class MPv3:
         instead of the fixed 32x8."""
         if stiffness is not None:
             n_eff = jnp.clip(jnp.ceil(4.0 * stiffness).astype(jnp.int32),
-                             4, n_sub)
+                             2, n_sub)
             h = dt / n_eff
         else:
             n_eff = None

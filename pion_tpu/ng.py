@@ -330,12 +330,13 @@ class NGHierarchy:
             k += 1
         return out
 
-    def _bc89_correct(self, dU, coarse_faces, fine_face_sums, level: int, dt):
+    def _bc89_correct(self, dU, get_face, fine_face_sums, level: int, dt):
         """Adjust the dU of coarse cells just outside the fine grid so the
         interface flux equals the time-averaged fine flux (Berger & Colella
         1989; reference: NG_BC89flux.cpp recv_BC89_fluxes_F2C).  Skipped on
         faces where the child touches the domain boundary (no outside
-        cell)."""
+        cell).  ``get_face(ax, i)`` returns the full transverse interface
+        plane at index i of axis ax."""
         cfg = self.cfgs[level]
         nd = cfg.ndim
         off_c = self.offs[level + 1]
@@ -343,7 +344,6 @@ class NGHierarchy:
             n = cfg.shape[ax]
             lo_i = off_c[ax]               # coarse interface index, low side
             hi_i = off_c[ax] + n // 2      # high side
-            F = coarse_faces[ax]   # (nvar, *spatial) with n+1 along axis ax
             Ff_lo, Ff_hi = fine_face_sums[ax]   # restricted fine fluxes
             g = self.geoms[level].axes[ax]
             cn = jnp.asarray(g.div_cn)
@@ -361,16 +361,26 @@ class NGHierarchy:
                                         off_c[bx] + cfg.shape[bx] // 2))
                 return tuple(sl)
 
+            def wplane(plane):
+                # window a full transverse interface plane to the child
+                sl = [slice(None)]
+                for bx in range(nd):
+                    if bx == ax:
+                        continue
+                    sl.append(slice(off_c[bx],
+                                    off_c[bx] + cfg.shape[bx] // 2))
+                return plane[tuple(sl)]
+
             # the coarse cell OUTSIDE the low interface is lo_i-1 (its HIGH
             # face, coefficient cp): dudt = cn*f_lo - cp*f_hi, so swapping
             # the coarse flux for the fine one adds cp*(F_coarse - F_fine).
             # At the high interface the outside cell is hi_i and its LOW
             # face gets the opposite sign.
             if lo_i > 0:
-                corr_lo = F[widx(lo_i)] - Ff_lo
+                corr_lo = wplane(get_face(ax, lo_i)) - Ff_lo
                 dU = dU.at[widx(lo_i - 1)].add(dt * cp[lo_i - 1] * corr_lo)
             if hi_i < n:
-                corr_hi = F[widx(hi_i)] - Ff_hi
+                corr_hi = wplane(get_face(ax, hi_i)) - Ff_hi
                 dU = dU.at[widx(hi_i)].add(-dt * cn[hi_i] * corr_hi)
         return dU
 
@@ -441,7 +451,8 @@ class NGHierarchy:
         return dt0
 
     def _advance_level(self, level: int, dt, parent_state=None,
-                       tau_in=None, t0=None, states=None, sp=None):
+                       tau_in=None, t0=None, states=None, sp=None,
+                       rt0_map=None):
         """One OA2 step of `level` with two recursive substeps of level+1.
         Returns the time-summed restricted boundary-plane fluxes for the
         parent's BC89 correction (reference: sim_control_NG.cpp:679-810).
@@ -461,13 +472,32 @@ class NGHierarchy:
         if t0 is None:
             t0 = self.t
 
-        # predictor half-step (1st-order space)
+        # predictor half-step (1st-order space); the predictor needs no
+        # face fluxes, so the fused Pallas kernels apply directly (the
+        # corrector keeps the XLA sweep for its BC89/boundary faces)
         Ppad = self._pad_level(level, P, parent_state)
-        dU_h, _ = dynamics_dU(Ppad, cfg, geom, 0.5 * dt, 1, ch=ch,
-                              scma=scma)
+        dU_h = None
+        if cfg.pallas != "off":
+            from .ops import pallas_sweep
+
+            use = pallas_sweep.supports(cfg) and (
+                cfg.pallas in ("on", "interpret")
+                or (cfg.pallas == "auto"
+                    and jax.default_backend() in ("tpu", "axon")
+                    and cfg.dtype == "float32"))
+            if use:
+                dU_h = pallas_sweep.dynamics_dU_pallas(
+                    Ppad, cfg, geom, 0.5 * dt, 1, ch=ch,
+                    interpret=(cfg.pallas == "interpret"), scma=scma)
+        if dU_h is None:
+            dU_h, _ = dynamics_dU(Ppad, cfg, geom, 0.5 * dt, 1, ch=ch,
+                                  scma=scma)
         if phys is not None and phys.mp is not None:
+            # reuse the columns traced through this pre-step state by the
+            # fused dt computation, when available (first touch per level)
+            rt_pre = (rt0_map or {}).get(level)
             dU_h = dU_h + phys.mp_delta_U(P, P, 0.5 * dt, cfg, tau_in,
-                                          sp=sp)
+                                          sp=sp, rt=rt_pre)
         Ph = cell_advance(P, dU_h, cfg)
         if glm:
             Ph = glm_psi_damp(Ph, 0.5 * dt, ch, cfg, geom)
@@ -484,12 +514,46 @@ class NGHierarchy:
         fine_sums_1 = None
         if level + 1 < self.n_levels:
             fine_sums_1 = self._advance_level(level + 1, 0.5 * dt, Ph,
-                                              tau_child, t0, states, sp)
+                                              tau_child, t0, states, sp,
+                                              rt0_map)
 
-        # corrector (2nd-order space), keep face fluxes
+        # corrector (2nd-order space).  On the fast path the fused Pallas
+        # kernels compute the dU and the handful of interface planes that
+        # BC89 / boundary restriction need are recomputed exactly from
+        # 4-cell slabs (ops.sweep.interface_flux — bitwise equal to the
+        # sweep's face arrays); otherwise the XLA sweep keeps its faces.
         Ppad = self._pad_level(level, Ph, parent_state)
-        dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch,
-                                  scma=scma)
+        use_fast = False
+        if cfg.pallas != "off":
+            from .constants import AV as _AV
+            from .ops import pallas_sweep
+
+            use_fast = (pallas_sweep.supports(cfg)
+                        and cfg.coords is Coord.CARTESIAN
+                        and cfg.av is _AV.FALLE
+                        and (cfg.pallas in ("on", "interpret")
+                             or (cfg.pallas == "auto"
+                                 and jax.default_backend() in ("tpu", "axon")
+                                 and cfg.dtype == "float32")))
+        if use_fast:
+            from .ops.sweep import interface_flux
+
+            dU_f = pallas_sweep.dynamics_dU_pallas(
+                Ppad, cfg, geom, dt, 2, ch=ch,
+                interpret=(cfg.pallas == "interpret"), scma=scma)
+            _fcache: Dict = {}
+
+            def get_face(ax_, i_):
+                if (ax_, i_) not in _fcache:
+                    _fcache[(ax_, i_)] = interface_flux(
+                        Ppad, cfg, geom, ax_, i_, dt, 2, ch=ch, scma=scma)
+                return _fcache[(ax_, i_)]
+        else:
+            dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch,
+                                      scma=scma)
+
+            def get_face(ax_, i_):
+                return jnp.take(faces[ax_], i_, axis=1 + ax_)
         if phys is not None and phys.mp is not None:
             dU_f = dU_f + phys.mp_delta_U(P, Ph, dt, cfg, tau_in,
                                           sp=sp)
@@ -508,7 +572,7 @@ class NGHierarchy:
                 lo = 0.5 * (fine_sums_1[ax][0] + fine_sums_2[ax][0])
                 hi = 0.5 * (fine_sums_1[ax][1] + fine_sums_2[ax][1])
                 sums.append((lo, hi))
-            dU_f = self._bc89_correct(dU_f, faces, sums, level, dt)
+            dU_f = self._bc89_correct(dU_f, get_face, sums, level, dt)
 
         P_new = cell_advance(P, dU_f, cfg)
         if glm:
@@ -533,11 +597,9 @@ class NGHierarchy:
             return None
         out = []
         for ax in range(cfg.ndim):
-            F = faces[ax]  # n+1 interfaces along array axis 1+ax
-            lo = self._restrict_face_flux(
-                jnp.take(F, 0, axis=1 + ax), ax, level)
-            hi = self._restrict_face_flux(
-                jnp.take(F, F.shape[1 + ax] - 1, axis=1 + ax), ax, level)
+            lo = self._restrict_face_flux(get_face(ax, 0), ax, level)
+            hi = self._restrict_face_flux(get_face(ax, cfg.shape[ax]), ax,
+                                          level)
             out.append((lo, hi))
         return out
 
@@ -557,12 +619,73 @@ class NGHierarchy:
             self._jit_cache["step"] = jax.jit(whole)
         return self._jit_cache["step"]
 
+    def _fused_step_fn(self):
+        """dt + full hierarchy step in ONE compiled program: the per-level
+        dt limits, growth clamp and end/output-time cap run in-graph, and
+        the radiation columns traced for the chemistry dt limit are reused
+        by each level's first predictor (the reference also raytraces once
+        per partial update — time_integrator.cpp:206-243; dt policy per
+        calc_timestep.cpp:219-260 with the coarse dt slaved to the finest,
+        sim_control_NG.cpp:288-341)."""
+        if "fused" not in self._jit_cache:
+            def whole(states, t, last_dt, dt_cap, sp=None):
+                rt0_map = {}
+                vals = []
+                for l in range(self.n_levels):
+                    d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l])
+                    phys = self.phys[l]
+                    if (phys is not None and phys.dt_limit
+                            and phys.mp is not None):
+                        r = None
+                        if phys.sources and not any(
+                                s.at_infinity for s in phys.sources):
+                            # point-source columns need no parent tau
+                            # offsets: trace once, reuse in the predictor
+                            r = phys.raytrace(states[l], sp=sp)
+                            rt0_map[l] = r
+                        d = jnp.minimum(
+                            d, phys.timescale(states[l], self.cfgs[l],
+                                              rt=r, sp=sp))
+                    vals.append(d * (2 ** l))
+                dt = jnp.min(jnp.stack(vals))
+                dt = jnp.where(last_dt > 0.0,
+                               jnp.minimum(dt, self.cfgs[0].max_dt_growth
+                                           * last_dt), dt)
+                dt = jnp.minimum(dt, dt_cap)
+                st = list(states)
+                self._advance_level(0, dt, t0=t, states=st, sp=sp,
+                                    rt0_map=rt0_map)
+                return tuple(st), dt
+
+            self._jit_cache["fused"] = jax.jit(whole)
+        return self._jit_cache["fused"]
+
+    def _dt_cap(self) -> float:
+        """End-time / next-timed-output ceiling (reference:
+        timestep_checking_and_limiting, calc_timestep.cpp:243-252)."""
+        tmax = getattr(self, "_tmax", None) or self.cfgs[0].tmax
+        cap = tmax - self.t
+        if self.opfreq_time > 0.0 and self.outfile is not None:
+            nxt = self._next_optime
+            if nxt is None:
+                nxt = self.t + self.opfreq_time
+            to_next = nxt - self.t
+            tol = 1.0e-12 * max(abs(nxt), self.opfreq_time)
+            if to_next <= tol:
+                to_next += self.opfreq_time
+            cap = min(cap, to_next)
+        return max(cap, 0.0)
+
     def step(self, dt: float = None) -> float:
         sp = (self.physics.update_sources(self.t)
               if self.physics is not None and self.physics.sources else None)
         if dt is None:
-            dt = self.compute_dt(sp)
-        self.P = list(self._step_fn()(tuple(self.P), dt, self.t, sp))
+            states, dtv = self._fused_step_fn()(
+                tuple(self.P), self.t, self.last_dt, self._dt_cap(), sp)
+            self.P = list(states)
+            dt = float(dtv)
+        else:
+            self.P = list(self._step_fn()(tuple(self.P), dt, self.t, sp))
         self.t += dt
         self.last_dt = dt
         self.step_count += 1
@@ -644,10 +767,11 @@ class NGHierarchy:
         from .utils import StepLogger
 
         tmax = self.cfgs[0].tmax if tmax is None else tmax
+        self._tmax = tmax
         logger = StepLogger(self.log_freq)
         while self.t < tmax * (1 - 1e-12) and self.step_count < max_steps:
-            dt = min(self.compute_dt(), tmax - self.t)
-            self.step(dt)
+            # fused dt+advance (dt capped in-graph to tmax / output times)
+            dt = self.step()
             self._maybe_output()
             logger.log(self.step_count, self.t, dt, self.P[0])
         if self.outfile is not None:

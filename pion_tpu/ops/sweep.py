@@ -467,3 +467,47 @@ def dynamics_dU(
         dU = contrib if dU is None else dU + contrib
 
     return dU, face_fluxes
+
+
+def interface_flux(Ph_pad, cfg: SimConfig, geom: Geometry, axis: int,
+                   j: int, dt, order: int, ch=None, scma: bool = False):
+    """Face flux at ONE interface plane ``j`` (0..n) of ``axis``, equal to
+    ``dynamics_dU(...)[1][axis]`` indexed at j, from a 4-cell slab.
+
+    Lets the nested-grid driver use the fused Pallas kernels for the dU
+    (which do not expose face fluxes) and still obtain the handful of
+    interface planes that BC89 flux correction and the parent-boundary
+    restriction need (reference: NG_BC89flux save_fine/coarse_fluxes) —
+    O(N^2) work per plane instead of a second full XLA sweep.
+
+    The interface flux depends only on cells j-2..j+1 of the sweep axis
+    (2nd-order MUSCL stencil), all present in ``Ph_pad``; the slab's own
+    ghost values are edge-replicated and provably do not reach the middle
+    interface.  Scope: Cartesian, AV none/falle (H-correction needs global
+    transverse etas).
+    """
+    from ..constants import Coord
+
+    assert cfg.coords is Coord.CARTESIAN
+    assert cfg.av in (AV.NONE, AV.FALLE)
+    ng = cfg.ng
+    nd = cfg.ndim
+    ax = 1 + axis
+    lo = ng + j - 2          # padded index of interior cell j-2
+    slab = jax.lax.slice_in_dim(Ph_pad, lo, lo + 4, axis=ax)
+    pads = [(0, 0)] * (1 + nd)
+    pads[ax] = (ng, ng)
+    slab_pad = jnp.pad(slab, pads, mode="edge")
+    shape = list(cfg.shape)
+    shape[axis] = 4
+    xmax = list(cfg.xmax)
+    # preserve dx: slab extents = xmin + 4*dx on the slab axis
+    xmax[axis] = cfg.xmin[axis] + 4.0 * cfg.dx
+    cfg_slab = cfg.with_(shape=tuple(shape), xmax=tuple(xmax))
+    from ..grid import make_geometry
+
+    geom_slab = make_geometry(cfg_slab)
+    _, faces = dynamics_dU(slab_pad, cfg_slab, geom_slab, dt, order,
+                           ch=ch, scma=scma)
+    # slab has 5 interfaces; the middle one (index 2) is interface j
+    return jnp.take(faces[axis], 2, axis=ax)
