@@ -83,12 +83,15 @@ def main():
     }
     out.update(coupled)
     out["profile"] = (
-        "OA2 step = 2 partial updates; each: 1 BC pad + 1 fused HLLD->HLL "
-        "mask pass (XLA) + 3 fused Pallas axis sweeps (VPU-op-bound, "
-        "~1.3-1.9 ms each at 128^3 f32 on v5e; HLLD+AV+GLM+tracers in one "
-        "kernel), final axis kernel also applies dU-sum + conserved update "
-        "+ floors + GLM psi damping. Calibrated VPU ceiling ~3.8 Tops/s; "
-        "div/sqrt ~7x an add.")
+        "Dynamics: OA2 = 2 partials; each: BC pad + HLLD->HLL mask pass + "
+        "3 fused Pallas axis sweeps (~1.3-1.9 ms each at 128^3 f32, "
+        "VPU-op-bound; final kernel applies dU+floors+GLM damping). "
+        "Coupled NG step (fused dt+advance, one program): per level-step "
+        "2 Pallas partials + 1 raytrace (Chebyshev-shell plane sweep, "
+        "~30 ms at 128^3, no gathers) + 2 MPv3 updates (one-hot MXU "
+        "table lookups; stiff Newton ladder on compacted I-front cells "
+        "only); BC89 faces from 4-cell slab recomputation; columns traced "
+        "once per level and shared dt-limit/predictor.")
     print(json.dumps(out))
 
 

@@ -111,15 +111,11 @@ def rotation_measure(ne, b_los):
 # X-ray band emissivity tables.  The reference interpolates log(L(>E)) vs
 # log(T) tables for the eight bands >0.1/0.2/0.3/0.5/1/2/5/10 keV computed
 # offline with XSPEC (reference: analysis/xray/xray_emission.h:28-74
-# setup_xray_tables; 0.2/2/10 keV bands added 2018-01-11, 0.3 keV added
-# 2019-02-05).  The XSPEC XML data file is not redistributable, so the
-# tables here are *approximate*: generated at import from a physical model —
-# free-free continuum with Gaunt factor (Rybicki & Lightman) plus a
-# solar-abundance metal-line component shaped like the SD93 CIE bump,
-# partitioned into bands by the exponential photon-energy distribution —
-# then interpolated in log-log exactly as the reference does.  Band
-# emissivities therefore will not numerically match the reference's
-# XSPEC-derived values (same API/shape, different table source).
+# setup_xray_tables; its derived text table ships as xray-table.txt next to
+# the projection tools).  Supply that file via XrayTables.from_file /
+# set_xray_table for EXACT parity; without one, a built-in approximate
+# model is used (free-free + CIE line bump), quantified against the XSPEC
+# table in tests/test_analysis.py (typical 0.15 dex, <1 dex, 0.1-2 keV).
 XRAY_BANDS_KEV = (0.1, 0.2, 0.3, 0.5, 1.0, 2.0, 5.0, 10.0)
 _XR_LOGT = np.linspace(4.0, 9.0, 161)
 
@@ -393,3 +389,34 @@ def project_3d_los(P, cfg: SimConfig, axis: int = 0, theta: float = 0.0,
     Pr = _rotate_cube(P, cfg, axis, theta)
     return project_3d(Pr, cfg, axis=axis, mp=mp, quantities=quantities,
                       e_min_kev=e_min_kev)
+
+
+def brems_freefree_emissivity(ne, T, nu_ghz=6.0):
+    """Free-free radio continuum at ``nu_ghz``: n_e^2 * 3.27e-23
+    (T/1e4K)^-0.35 nu^-0.1 [MJy/ster/cm] (reference:
+    xray_emission.cpp:303-340 Brems6GHz/Brems20cm_emissivity)."""
+    return 3.27e-23 * nu_ghz ** (-0.1) * ne * ne * (T * 1.0e-4) ** (-0.35)
+
+
+def emissivity_cube(P, cfg: SimConfig, mp=None, xray_tables=None) -> Dict:
+    """Per-cell emissivity cube (reference:
+    analysis/emission-cubes/make_emission_cube.cpp:258-290): the snapshot's
+    fields replaced by Halpha (x the 206265^2*4pi sky factor),
+    20cm free-free (x 4pi), and the three X-ray band emissivities
+    0.1-0.5 / 0.5-2 / 2-10 keV (n_e n_p (Lambda(>a)-Lambda(>b))), ready
+    to write as a FITS/VTK cube."""
+    ne, n_hp, _nH, T = _gas_quantities(P, cfg, mp)
+    sky = 206265.0 ** 2 * 4.0 * np.pi
+
+    def band(a, b):
+        return (xray_emissivity(ne, n_hp, T, a, tables=xray_tables)
+                - xray_emissivity(ne, n_hp, T, b, tables=xray_tables))
+
+    return {
+        "halpha": halpha_emissivity(ne, n_hp, T) * sky,
+        "brems20cm": brems_freefree_emissivity(ne, T, nu_ghz=1.4)
+        * 4.0 * np.pi,
+        "xray_0.1-0.5keV": band(0.1, 0.5),
+        "xray_0.5-2keV": band(0.5, 2.0),
+        "xray_2-10keV": band(2.0, 10.0),
+    }

@@ -265,3 +265,37 @@ def test_xray_builtin_vs_reference_table():
     for T in (1.0e6, 3.0e6, 1.0e7):
         for e0 in (0.3, 0.5, 1.0):
             assert abs(offs[(T, e0)]) < 1.0, (T, e0, offs[(T, e0)])
+
+
+def test_emissivity_cube():
+    """Per-cell emission cube (reference: make_emission_cube.cpp):
+    hot ionized gas emits in Halpha + X-rays; cold neutral gas does not."""
+    from pion_tpu import Eqn, SimConfig
+    from pion_tpu.analysis.projection import emissivity_cube
+    from pion_tpu.constants import K_B, PG as iPG, RO as iRO
+    from pion_tpu.microphysics import MPv3, MPv3Config
+
+    cfg = SimConfig(ndim=3, eqn=Eqn.EULER, solver="hll", ntracer=1,
+                    shape=(8, 8, 8), xmin=(0.0,) * 3, xmax=(3.0e18,) * 3,
+                    bcs=(("outflow", "outflow"),) * 3, tmax=1.0)
+    mpc = MPv3Config(tracer_slot=cfg.eqn.nbase)
+    mp = MPv3(mpc)
+    P = np.zeros((cfg.nvar,) + cfg.shape)
+    nH = 10.0
+    P[iRO] = nH * mpc.mean_mass_per_h
+    # half the box: hot ionized (3e6 K); other half: cold neutral
+    x = np.zeros(cfg.shape)
+    x[:, :, :4] = 1.0
+    P[cfg.eqn.nbase] = x
+    ntot = (mpc.n_ion + mpc.n_elec * x) * nH
+    T = np.where(x > 0.5, 3.0e6, 100.0)
+    P[iPG] = ntot * 1.380649e-16 * T
+    cube = emissivity_cube(jnp.asarray(P), cfg, mp)
+    assert set(cube) == {"halpha", "brems20cm", "xray_0.1-0.5keV",
+                         "xray_0.5-2keV", "xray_2-10keV"}
+    for k, v in cube.items():
+        v = np.asarray(v)
+        assert v.shape == cfg.shape and np.all(np.isfinite(v))
+        assert v[0, 0, 0] > 0.0, f"{k}: hot ionized gas must emit"
+        assert v[0, 0, 0] > 1e3 * max(v[0, 0, 7], 1e-300), \
+            f"{k}: cold neutral gas must not emit"
