@@ -362,10 +362,19 @@ def physics_from_params(cfg: SimConfig, params) -> Optional[object]:
     sources = sources_from_params(cfg, params)
     winds = winds_from_params(cfg, params)
     chem = params.get("chem_code", "None")
+    gf0 = lambda k, d: float(params.get(k, d) or d)
+    cooling_code = int(gf0("EP_cooling", 0))
+    chemistry_on = bool(int(gf0("EP_chemistry", 0)))
     if chem in ("None", "none", "NONE", ""):
-        if not winds:
+        # EP_cooling without EP_chemistry selects mp_only_cooling even
+        # with chem_code none (reference: setup_fixed_grid.cpp:267-273
+        # "Requested cooling but no chemistry")
+        if cooling_code and not chemistry_on:
+            chem = "mp_only_cooling"
+        elif not winds:
             return None
-        return Physics(wind_sources=winds)
+        else:
+            return Physics(wind_sources=winds)
 
     slot = _tracer_slot(cfg, params)
     ion = [s for s in sources if s.effect in ("mono", "mfion")]
@@ -640,7 +649,11 @@ def run_main(argv: List[str]) -> "object":
                              t=t0, physics=phys, outfile=_outfile(params),
                              jet=jet, params=params, **opts)
     max_steps = int(params.get("max_steps", 10**9) or 10**9)
-    sim.run(max_steps=max_steps)
+    chunk = int(params.get("chunk", 1) or 1)
+    if chunk > 1 and cfg.nlevels == 1:
+        sim.run(max_steps=max_steps, chunk=chunk)
+    else:
+        sim.run(max_steps=max_steps)
     print(f"run: finished at t={sim.t:.6e} after {sim.step_count} steps")
     return sim
 

@@ -155,11 +155,17 @@ def sound_speed(P: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
 
 def cfast_components(rho, pg, bx, by, bz, gamma) -> jnp.ndarray:
     """Fast magnetosonic speed along the bx direction
-    (reference: eqns_mhd_adiabatic.cpp:264-278)."""
+    (reference: eqns_mhd_adiabatic.cpp:264-278).
+
+    float32-safe form: the discriminant is evaluated as
+    t1^2 (1 - q), q = 4 (a2/t1)(bx^2/rho)/t1 in [0, 1] — t1^2 itself
+    overflows f32 in evacuated wind interiors (b^2/rho ~ 4e19 cgs gives
+    t1^2 ~ 2e39 > f32max), which used to poison dt to zero."""
     a2 = gamma * pg / rho
     t1 = a2 + (bx * bx + by * by + bz * bz) / rho
-    t2 = jnp.maximum(t1 * t1 - 4.0 * a2 * bx * bx / rho, MACHINE_EPS)
-    return jnp.sqrt(0.5 * (t1 + jnp.sqrt(t2)))
+    q = 4.0 * (a2 / t1) * ((bx * bx / rho) / t1)
+    root = jnp.sqrt(jnp.maximum(1.0 - q, 0.0))
+    return jnp.sqrt(0.5 * t1 * (1.0 + root))
 
 
 def cfast(P: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
@@ -167,11 +173,13 @@ def cfast(P: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
 
 
 def cslow(P: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
-    """Slow magnetosonic speed (reference: eqns_mhd_adiabatic.cpp:286-299)."""
+    """Slow magnetosonic speed (reference: eqns_mhd_adiabatic.cpp:286-299).
+    Same overflow-safe discriminant as cfast_components."""
     a2 = cfg.gamma * P[PG] / P[RO]
     t1 = a2 + (P[BX] ** 2 + P[BY] ** 2 + P[BZ] ** 2) / P[RO]
-    t2 = jnp.maximum(t1 * t1 - 4.0 * a2 * P[BX] ** 2 / P[RO], MACHINE_EPS)
-    return jnp.sqrt(0.5 * jnp.maximum(t1 - jnp.sqrt(t2), MACHINE_EPS))
+    q = 4.0 * (a2 / t1) * ((P[BX] ** 2 / P[RO]) / t1)
+    root = jnp.sqrt(jnp.maximum(1.0 - q, 0.0))
+    return jnp.sqrt(0.5 * jnp.maximum(t1 * (1.0 - root), MACHINE_EPS))
 
 
 def maxspeed(P: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:

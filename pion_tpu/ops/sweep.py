@@ -343,6 +343,12 @@ def dynamics_dU(
         hc_eta = None
         if etas is not None:
             hc_eta = _select_hcorr_eta(etas, cfg, axis, n)
+            if axis != nd - 1:
+                # hybrid layout: the sweep axis was moved to last (see Pt
+                # above); the eta interface array must follow (only the
+                # Roe solvers consume it, which is why hybrid/HLL hcorr
+                # runs never tripped this)
+                hc_eta = jnp.moveaxis(hc_eta[None], 1 + axis, -1)[0]
 
         hll_mask = None
         if hlld_strong is not None:

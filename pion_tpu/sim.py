@@ -225,14 +225,46 @@ class Simulation:
         return dt
 
     def run(self, tmax: Optional[float] = None, max_steps: int = 10**9,
-            callback: Optional[Callable] = None):
+            callback: Optional[Callable] = None, chunk: int = 1):
+        """Advance to ``tmax``.  ``chunk`` > 1 batches that many fused
+        steps into ONE compiled dispatch (lax.scan) — removes per-step
+        launch latency, which dominates small grids.  Chunking engages
+        only when nothing must run on the host between steps (no timed
+        outputs, callbacks, or per-step logging finer than the chunk)."""
         from .utils import StepLogger
 
         tmax = self.cfg.tmax if tmax is None else tmax
         self._tmax = tmax
         logger = StepLogger(self.log_freq)
+        # output cadences must align with the chunk so snapshots are not
+        # skipped (each distinct K compiles its own program: keep K fixed)
+        can_chunk = (chunk > 1 and self.fns.multi_step is not None
+                     and self.opfreq_time == 0.0 and callback is None
+                     and self.opfreq % chunk == 0
+                     and self.checkpoint_freq % chunk == 0
+                     and (self.log_freq == 0 or self.log_freq % chunk == 0))
         while self.t < tmax * (1.0 - 1e-12) and self.step_count < max_steps:
-            dt = self.step()
+            if can_chunk and self.step_count + chunk <= max_steps:
+                K = chunk
+                sp = (self.physics.update_sources(self.t)
+                      if self.physics is not None and self.physics.sources
+                      else None)
+                Pn, dts, dt_raws = self.fns.multi_step(
+                    self.P, self.t, self.last_dt, tmax, sp, K=K)
+                dts = np.asarray(dts)
+                if float(np.asarray(dt_raws).min()) < self.cfg.min_timestep:
+                    raise RuntimeError(
+                        f"timestep too small: {float(np.min(dt_raws))}")
+                live = int((dts > 0).sum())
+                if live == 0:
+                    break
+                self.P = Pn
+                self.t += float(dts.sum())
+                self.last_dt = float(dts[live - 1])
+                self.step_count += live
+                dt = float(dts[live - 1])
+            else:
+                dt = self.step()
             self._maybe_output()
             logger.log(self.step_count, self.t, dt, self.P)
             if callback is not None:

@@ -162,3 +162,66 @@ def test_scma_tracer_corrector():
     a, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2)
     b, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2, scma=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_roe_hcorr_2d_all_axes():
+    """Roe-CV + H-correction in 2D: the eta interface array must follow
+    the sweep's hybrid (axis-moved) layout on non-minor axes (regression:
+    shape mismatch crashed any roe+hcorr multi-D run; only Roe solvers
+    consume the eta, so hybrid/HLL runs never saw it)."""
+    import jax.numpy as jnp
+
+    from pion_tpu.boundaries import apply_bcs, make_fixed_strips
+    from pion_tpu.ops.sweep import dynamics_dU
+
+    rng = np.random.default_rng(0)
+    for eqn, solver in (("euler", "roe"), ("mhd", "roe")):
+        cfg = SimConfig(ndim=2, eqn=eqn, solver=solver, ntracer=1,
+                        shape=(24, 24), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                        bcs=(("outflow", "outflow"),) * 2, cfl=0.3, ooa=2,
+                        av="hcorr_falle", etav=0.15, tmax=1.0)
+        from pion_tpu.grid import make_geometry as _mg
+
+        geom = _mg(cfg)
+        P = np.ones((cfg.nvar,) + cfg.shape)
+        P[0] = 1 + rng.random(cfg.shape)
+        P[1] = 1 + rng.random(cfg.shape)
+        P[2:5] = 0.3 * rng.standard_normal((3,) + cfg.shape)
+        if cfg.eqn.is_mhd:
+            P[5:8] = 0.2 * rng.standard_normal((3,) + cfg.shape)
+        Ppad = apply_bcs(jnp.asarray(P), cfg, make_fixed_strips(P, cfg))
+        dU, _ = dynamics_dU(Ppad, cfg, geom, 1e-3, 2, ch=1.0)
+        assert np.all(np.isfinite(np.asarray(dU))), (eqn, solver)
+
+
+def test_chunked_run_matches_per_step():
+    """run(chunk=K) — K fused steps per dispatch — must reproduce the
+    per-step loop exactly (same dt policy, in-graph)."""
+    import jax.numpy as jnp
+
+    from pion_tpu.ics.blast import blast_wave
+    from pion_tpu.sim import Simulation
+
+    cfg = SimConfig(ndim=2, eqn="glm", solver="hlld", ntracer=1,
+                    shape=(32, 32), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, cfl=0.3, ooa=2,
+                    av="falle", etav=0.1, tmax=0.05)
+    P0 = blast_wave(cfg, B0=(0.1, 0.05, 0.0))
+    a = Simulation(cfg, jnp.asarray(P0))
+    b = Simulation(cfg, jnp.asarray(P0))
+    a.run(max_steps=12)
+    b.run(max_steps=12, chunk=4)
+    assert b.step_count == a.step_count == 12
+    assert np.isclose(b.t, a.t, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.P), np.asarray(a.P),
+                               rtol=1e-12, atol=1e-13)
+
+    # and with tmax landing inside a chunk: both must stop at tmax exactly
+    c = Simulation(cfg, jnp.asarray(P0))
+    d = Simulation(cfg, jnp.asarray(P0))
+    c.run(tmax=0.02)
+    d.run(tmax=0.02, chunk=8)
+    assert np.isclose(d.t, c.t, rtol=1e-12)
+    assert d.step_count == c.step_count
+    np.testing.assert_allclose(np.asarray(d.P), np.asarray(c.P),
+                               rtol=1e-12, atol=1e-13)
