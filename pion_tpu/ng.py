@@ -431,7 +431,11 @@ class NGHierarchy:
             def whole(states, sp=None):
                 vals = []
                 for l in range(self.n_levels):
-                    d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l])
+                    ph_l = self.phys[l]
+                    excl = (ph_l.wind_exclude_mask()
+                            if ph_l is not None and ph_l.winds else None)
+                    d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l],
+                                    exclude=excl)
                     phys = self.phys[l]
                     if (phys is not None and phys.dt_limit
                             and phys.mp is not None):
@@ -632,7 +636,11 @@ class NGHierarchy:
                 rt0_map = {}
                 vals = []
                 for l in range(self.n_levels):
-                    d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l])
+                    ph_l = self.phys[l]
+                    excl = (ph_l.wind_exclude_mask()
+                            if ph_l is not None and ph_l.winds else None)
+                    d = dynamics_dt(states[l], self.cfgs[l], self.geoms[l],
+                                    exclude=excl)
                     phys = self.phys[l]
                     if (phys is not None and phys.dt_limit
                             and phys.mp is not None):
@@ -665,6 +673,14 @@ class NGHierarchy:
         timestep_checking_and_limiting, calc_timestep.cpp:243-252)."""
         tmax = getattr(self, "_tmax", None) or self.cfgs[0].tmax
         cap = tmax - self.t
+        # first-step wind-speed ceiling, scaled from the finest level to
+        # the root dt (reference: calc_dynamics_dt timestep-0 wind cap)
+        if (self.step_count == 0 and self.physics is not None
+                and self.physics.wind_sources):
+            fine = self.n_levels - 1
+            cap = min(cap, self.phys[fine].wind_dt_cap(self.cfgs[fine],
+                                                       self.geoms[fine])
+                      * 2 ** fine)
         if self.opfreq_time > 0.0 and self.outfile is not None:
             nxt = self._next_optime
             if nxt is None:

@@ -423,7 +423,21 @@ def dynamics_dU(
             pos_c = _bcast(g.pos[ng : ng + n], eff, nd)[0]
             com_c = _bcast(g.com[ng : ng + n], eff, nd)[0]
             if cfg.coords is Coord.CYLINDRICAL:
-                if order == 1:
+                if cfg.eqn.is_mhd:
+                    # radial momentum source includes the MAGNETIC
+                    # pressure, with the B.dB slope correction at OA2
+                    # (reference: cyl_FV_solver_mhd_*::geometric_source,
+                    # solver_eqn_mhd_adi.cpp:1001-1030,1180-1215)
+                    pm = 0.5 * (Pc[BX] ** 2 + Pc[BY] ** 2 + Pc[BZ] ** 2)
+                    if order == 1:
+                        src = (Pc[PG] + pm) / pos_c
+                    else:
+                        corr = (slope_c[PG] + Pc[BX] * slope_c[BX]
+                                + Pc[BY] * slope_c[BY]
+                                + Pc[BZ] * slope_c[BZ])
+                        src = (Pc[PG] + pm
+                               + (pos_c - com_c) * corr) / pos_c
+                elif order == 1:
                     src = Pc[PG] / pos_c
                 else:
                     src = (Pc[PG] + (pos_c - com_c) * slope_c[PG]) / pos_c
@@ -435,6 +449,17 @@ def dynamics_dU(
                     src = 2.0 * ((Pc[PG] - slope_c[PG] * com_c) / r3
                                  + slope_c[PG])
             dudt = dudt.at[k_norm].add(src)
+            if glm and cfg.coords is Coord.CYLINDRICAL:
+                # GLM radial-B geometric source c_h psi / R (reference:
+                # cyl_FV_solver_mhd_mixedGLM_adi::geometric_source,
+                # solver_eqn_mhd_adi.cpp:1203-1215)
+                kb = BX + (nd - 1 - axis)
+                if order == 1:
+                    sb = ch * Pc[SI] / pos_c
+                else:
+                    sb = ch * (Pc[SI]
+                               + (pos_c - com_c) * slope_c[SI]) / pos_c
+                dudt = dudt.at[kb].add(sb)
 
         # Powell 8-wave source terms (MHD; reference:
         # solver_eqn_mhd_adi.cpp:396-443): dU_i -= (d<Bn>/dx) * S_i
@@ -443,8 +468,15 @@ def dynamics_dU(
             bn = Pt[BX + k]  # padded along sweep axis; spatial axis = `axis`
             bm = 0.5 * (_slab(bn[None], ax, ng - 1, ng + n)[0]
                         + _slab(bn[None], ax, ng, ng + n + 1)[0])
-            dbm = (_slab(bm[None], ax, 0, -1)[0]
-                   - _slab(bm[None], ax, 1, None)[0]) / dx
+            if g.is_radial and cfg.coords is Coord.CYLINDRICAL:
+                # cylindrical radial divergence factors 2 r_face/(rp^2-rn^2)
+                # (reference: cyl_FV_solver_mhd_ideal_adi::MHDsource Rcyl
+                # branch, solver_eqn_mhd_adi.cpp:1092-1103)
+                dbm = (cn[0] * _slab(bm[None], ax, 0, -1)[0]
+                       - cp[0] * _slab(bm[None], ax, 1, None)[0])
+            else:
+                dbm = (_slab(bm[None], ax, 0, -1)[0]
+                       - _slab(bm[None], ax, 1, None)[0]) / dx
             udotb = Pc[VX] * Pc[BX] + Pc[VY] * Pc[BY] + Pc[VZ] * Pc[BZ]
             dudt = dudt.at[VX].add(dbm * Pc[BX])
             dudt = dudt.at[VY].add(dbm * Pc[BY])

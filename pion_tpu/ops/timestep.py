@@ -43,7 +43,16 @@ def max_signal_speed(P: jnp.ndarray, cfg: SimConfig) -> jnp.ndarray:
     return vmax + cf
 
 
-def dynamics_dt(P: jnp.ndarray, cfg: SimConfig, geom: Geometry) -> jnp.ndarray:
-    """Global CFL-limited dynamical timestep (scalar array)."""
+def dynamics_dt(P: jnp.ndarray, cfg: SimConfig, geom: Geometry,
+                exclude=None) -> jnp.ndarray:
+    """Global CFL-limited dynamical timestep (scalar array).
+
+    ``exclude``: boolean mask of cells left out of the reduction — the
+    reference skips internal-boundary (stellar-wind) cells, whose state
+    is overwritten every step and whose floor-density Alfven speed would
+    otherwise throttle dt by ~1e3x (calc_timestep.cpp "c->timestep &&
+    !c->isbd")."""
     speed = max_signal_speed(P, cfg)
+    if exclude is not None:
+        speed = jnp.where(exclude, 0.0, speed)
     return cfg.cfl * geom.dx / jnp.max(speed)

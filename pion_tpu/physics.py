@@ -272,3 +272,26 @@ class Physics:
         if rt is None:
             rt = self.mp.default_rt(P)
         return self.mp._timescales_impl(P, cfg, rt)
+
+    def wind_exclude_mask(self):
+        """Union of the (static) wind-region masks — cells the CFL dt
+        reduction skips, like the reference's internal-boundary isbd flag
+        (calc_timestep.cpp calc_dynamics_dt).  Orbiting sources move, so
+        their cells stay in the reduction (conservative)."""
+        mask = None
+        for w in self.winds:
+            if w.src.orbits:
+                continue
+            m = w.mask
+            mask = m if mask is None else (mask | m)
+        return mask
+
+    def wind_dt_cap(self, cfg, geom) -> float:
+        """First-step dt ceiling from the wind speeds (reference:
+        calc_dynamics_dt "if on first step and stellar winds present",
+        dt <= 0.1 CFL dx / Vinf)."""
+        cap = float("inf")
+        for s in self.wind_sources:
+            if s.vinf > 0.0:
+                cap = min(cap, 0.1 * cfg.cfl * geom.dx / s.vinf)
+        return cap

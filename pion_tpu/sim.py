@@ -191,6 +191,12 @@ class Simulation:
         — so opfreq_time snapshots land exactly on cadence)."""
         tmax = getattr(self, "_tmax", None) or self.cfg.tmax
         cap = tmax - self.t
+        # first-step wind-speed ceiling (reference: calc_dynamics_dt caps
+        # dt <= 0.1 CFL dx / Vinf on timestep 0, since wind cells are
+        # excluded from the CFL reduction)
+        if (self.step_count == 0 and self.physics is not None
+                and self.physics.wind_sources):
+            cap = min(cap, self.physics.wind_dt_cap(self.cfg, self.geom))
         if self.opfreq_time > 0.0 and self.outfile is not None:
             to_next = self._next_optime - self.t
             # fp guard: if we are within rounding of the output instant,
@@ -244,7 +250,12 @@ class Simulation:
                      and self.checkpoint_freq % chunk == 0
                      and (self.log_freq == 0 or self.log_freq % chunk == 0))
         while self.t < tmax * (1.0 - 1e-12) and self.step_count < max_steps:
-            if can_chunk and self.step_count + chunk <= max_steps:
+            if (can_chunk and self.step_count + chunk <= max_steps
+                    and not (self.step_count == 0
+                             and self.physics is not None
+                             and self.physics.wind_sources)):
+                # (the very first step takes the per-step path so the
+                # reference's timestep-0 wind-speed dt cap applies)
                 K = chunk
                 sp = (self.physics.update_sources(self.t)
                       if self.physics is not None and self.physics.sources

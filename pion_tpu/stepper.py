@@ -144,7 +144,9 @@ def make_step_fns(cfg: SimConfig, geom: Geometry,
     """Build jitted advance/dt functions with config closed over."""
 
     def _dt_expr(P, rt0=None):
-        dt = dynamics_dt(P, cfg, geom)
+        excl = (physics.wind_exclude_mask()
+                if physics is not None and physics.winds else None)
+        dt = dynamics_dt(P, cfg, geom, exclude=excl)
         if physics is not None and physics.dt_limit and physics.mp is not None:
             # chemistry/cooling dt limit (reference: calc_timestep.cpp:342
             # calc_microphysics_dt with MP_timestep_limit)

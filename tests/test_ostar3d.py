@@ -116,3 +116,36 @@ def test_ostar3d_flagship_coupled_gate(tmp_path):
             b, a, rtol=5e-5,
             atol=1e-6 * np.abs(a).max(),
             err_msg=f"restart diverged on level {l}")
+
+
+def test_ostar2d_cylindrical_glm_wind_stable(tmp_path):
+    """Cylindrical GLM-MHD wind bubble (the reference's Ostar2 walltime
+    benchmark, scaled down): the run must hold a healthy CFL dt.
+
+    Regression for two cylindrical-MHD source terms the sweep was missing
+    (magnetic-pressure hoop term in the radial momentum source and the
+    r-weighted Powell divergence, solver_eqn_mhd_adi.cpp:1001-1103) —
+    without them the axis wake blows up and dt collapses by ~1e4x — and
+    for the wind-cell CFL exclusion (calc_dynamics_dt '!c->isbd')."""
+    REF2 = ("/root/reference/test_problems/OpenMP/"
+            "params_Ostar2_B010_d2l1n0256.txt")
+    txt = open(REF2).read()
+    repl = {
+        "NGridX  256": "NGridX  128",
+        "NGridY  128": "NGridY  64",
+        "OutputPath ./": f"OutputPath {tmp_path}/",
+    }
+    for a, b in repl.items():
+        assert a in txt, f"reference param line changed: {a}"
+        txt = txt.replace(a, b)
+    pf = tmp_path / "params_ostar2.txt"
+    pf.write_text(txt)
+    snap = icgen_main([str(pf), "dtype=float32"])
+    sim = run_main([str(snap), "max_steps=600", "log_freq=0",
+                    "OutputFrequency=0", "chunk=50"])
+    P = np.asarray(sim.P)
+    assert np.all(np.isfinite(P))
+    # healthy dt: CFL on the wind speed scale (dx=9.6e16, v~2e8 ->
+    # dt ~ 1e8); the broken sources collapsed it below 1e4 s
+    assert sim.last_dt > 1.0e6, sim.last_dt
+    assert sim.t > 1.0e10
