@@ -119,17 +119,31 @@ class MPOnlyCooling(JitCachedMP):
         Tg = np.logspace(np.log10(mpc.min_temperature),
                          np.log10(mpc.max_temperature), 300)
         self.Tg = jnp.asarray(Tg)
-        self.tab = {
-            "sd93": jnp.asarray(cooling_rate_sd93_cie(Tg)),
-            "ki02": jnp.asarray(cooling_rate_ki02(Tg)),
-            "heat": jnp.asarray(2.733e-21 * np.exp(-0.782991 * np.log(Tg))),
-            "rrhp": jnp.asarray(TB.hii_rad_recomb_rate(Tg)),
-            "C_rrh": jnp.asarray(TB.hii_total_cooling(Tg)),
-            "C_ffhe": jnp.asarray(6.72e-28 * np.sqrt(Tg)),
-            "C_fbdn": jnp.asarray(
-                1.20e-22 * np.exp(-33610.0 / Tg - (2180.0 / Tg) ** 2)
-                * np.exp(-Tg * Tg / 5.0e10)),
+        tabs = {
+            "sd93": cooling_rate_sd93_cie(Tg),
+            "ki02": cooling_rate_ki02(Tg),
+            "heat": 2.733e-21 * np.exp(-0.782991 * np.log(Tg)),
+            "rrhp": TB.hii_rad_recomb_rate(Tg),
+            "C_rrh": TB.hii_total_cooling(Tg),
+            "C_ffhe": 6.72e-28 * np.sqrt(Tg),
+            "C_fbdn": (1.20e-22 * np.exp(-33610.0 / Tg - (2180.0 / Tg) ** 2)
+                       * np.exp(-Tg * Tg / 5.0e10)),
         }
+        self.tab = {k: jnp.asarray(v) for k, v in tabs.items()}
+        # stacked hot-loop lookup (same scheme as mpv3._t1_lookup): the
+        # grid is log-uniform, so the bin index is arithmetic, and one
+        # (pair of) row fetches serves every curve — one-hot matmul on
+        # the MXU on TPU, row gather on CPU
+        self._names = tuple(tabs)
+        stack = np.stack([Tg] + [np.asarray(tabs[k]) for k in self._names],
+                         axis=-1)
+        self._stack = jnp.asarray(stack)
+        self._aug = jnp.asarray(np.concatenate(
+            [stack, np.concatenate([stack[1:], stack[-1:]])], axis=-1))
+        self._lt0 = float(np.log10(Tg[0]))
+        self._inv_dlt = float((len(Tg) - 1)
+                              / (np.log10(Tg[-1]) - np.log10(Tg[0])))
+        self._nt = len(Tg)
 
     def _nT(self, P):
         mu_mass = self.mpc.mu * M_P
@@ -149,8 +163,24 @@ class MPOnlyCooling(JitCachedMP):
         """Net heating-cooling rate [erg/cm^3/s] for the configured curve."""
         Tc = jnp.clip(T, self.mpc.min_temperature, self.mpc.max_temperature)
 
+        import jax
+
+        fi = (jnp.log10(Tc) - self._lt0) * self._inv_dlt
+        i = jnp.clip(fi.astype(jnp.int32), 0, self._nt - 2)
+        m = self._stack.shape[-1]
+        if jax.default_backend() in ("tpu", "axon"):
+            oh = jax.nn.one_hot(i.ravel(), self._nt, dtype=Tc.dtype)
+            both = (oh @ self._aug).reshape(i.shape + (2 * m,))
+            lo, hi = both[..., :m], both[..., m:]
+        else:
+            lo = self._stack[i]
+            hi = self._stack[i + 1]
+        w = ((Tc - lo[..., 0]) / (hi[..., 0] - lo[..., 0]))[..., None]
+        vals = lo[..., 1:] + w * (hi[..., 1:] - lo[..., 1:])
+        _cols = {nm: vals[..., k] for k, nm in enumerate(self._names)}
+
         def f(name):
-            return _interp1(self.Tg, self.tab[name], Tc)
+            return _cols[name]
 
         ne = rho / self.MU_ELEC
         ni = rho / self.MU_ION
