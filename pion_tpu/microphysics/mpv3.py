@@ -547,6 +547,12 @@ class MPv3:
         E_floor = self.n_tot(nH, 1.0 - omx) * K_B * c.min_temperature / (c.gamma - 1.0)
         Eint = jnp.where(Eint > 0.0, Eint, E_floor)
 
+        if self._use_pallas(rt, Eint.dtype):
+            from .pallas_mpv3 import update_pallas
+
+            omx1, E1 = update_pallas(self, omx, Eint, nH, dt, rt)
+            return self._finish_update(P, nH, omx1, E1)
+
         d_omx, d_E = self.ydot(omx, Eint, nH, rt)
         maxdelta = jnp.maximum(jnp.abs(d_omx * dt / omx),
                                jnp.abs(d_E * dt / Eint))
@@ -619,7 +625,21 @@ class MPv3:
                 (omx, Eint, nH, rt))
         omx1 = jnp.where(use_euler, omx_eul, omx_st)
         E1 = jnp.where(use_euler, E_eul, E_st)
+        return self._finish_update(P, nH, omx1, E1)
 
+    def _use_pallas(self, rt, dtype) -> bool:
+        """Trace-time gate for the fused Pallas update/ydot kernel
+        (pallas_mpv3.py): TPU backend, f32, <=1 ionizing source."""
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        from .pallas_mpv3 import supports
+
+        return supports(self, rt, dtype)
+
+    def _finish_update(self, P, nH, omx1, E1):
+        """Shared post-integration clamps + primitive assembly
+        (reference: convert_local2prim, MPv3.cpp:1000-1014)."""
+        c = self.mpc
         omx1 = jnp.clip(omx1, MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
         x1 = 1.0 - omx1
         # temperature clamps (reference: convert_local2prim:1000-1014)
@@ -645,7 +665,12 @@ class MPv3:
         nH = self.n_H(P[RO])
         Eint = P[PG] / (c.gamma - 1.0)
         omx = jnp.clip(1.0 - P[c.tracer_slot], MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
-        d_omx, d_E = self.ydot(omx, Eint, nH, rt)
+        if self._use_pallas(rt, Eint.dtype):
+            from .pallas_mpv3 import ydot_pallas
+
+            d_omx, d_E = ydot_pallas(self, omx, Eint, nH, rt)
+        else:
+            d_omx, d_E = self.ydot(omx, Eint, nH, rt)
         t = DTFRAC / (jnp.abs(d_omx) + 1.0e-100)
         t = jnp.minimum(t, DTFRAC * Eint / (jnp.abs(d_E) + 1.0e-100))
         return jnp.min(t)
