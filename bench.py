@@ -87,11 +87,12 @@ def main():
         "3 fused Pallas axis sweeps (~1.3-1.9 ms each at 128^3 f32, "
         "VPU-op-bound; final kernel applies dU+floors+GLM damping). "
         "Coupled NG step (fused dt+advance, one program): per level-step "
-        "2 Pallas partials + 1 raytrace (Chebyshev-shell plane sweep, "
-        "~30 ms at 128^3, no gathers) + 2 MPv3 updates (one-hot MXU "
-        "table lookups; stiff Newton ladder on compacted I-front cells "
-        "only); BC89 faces from 4-cell slab recomputation; columns traced "
-        "once per level and shared dt-limit/predictor.")
+        "2 Pallas partials + 1 raytrace (in-VMEM 8-octant Pallas sweep, "
+        "~0.1 ms at 128^3 vs 27 ms for the XLA plane sweep) + 2 MPv3 "
+        "updates (fused Pallas kernel: hat-basis MXU table interpolation "
+        "+ per-tile BE-Newton ladder, no compaction gather); BC89 faces "
+        "from 4-cell slab recomputation; columns traced once per level "
+        "and shared dt-limit/predictor.")
     print(json.dumps(out))
 
 

@@ -440,6 +440,7 @@ class PointSourcePlaneTracer:
             self._sgn1d.append(jnp.asarray(s1.reshape(sh)))
         self.n_steps = int(max(max(src_idx[a], shape[a] - 1 - src_idx[a])
                                for a in range(nd)))
+        self._octant_sweep = None  # lazy Pallas fast path (3D TPU f32)
 
     @staticmethod
     def _shift_toward(arr, sgn_b, axis):
@@ -454,6 +455,19 @@ class PointSourcePlaneTracer:
         """Returns tau_entry (optical depth to each cell's entry point)."""
         nd = self.cfg.ndim
         shape = self.cfg.shape
+        # Pallas octant sweep (pallas_trace.py): whole subcube VMEM-resident,
+        # one kernel per octant instead of ~6 host-issued ops per shell —
+        # ~25x faster at 128^3 on v5e; bitwise-equal values up to f32
+        # reassociation (verified vs the L1-shell scan in tests)
+        if (nd == 3 and dtau.dtype == jnp.float32
+                and jax.default_backend() in ("tpu", "axon")):
+            from .pallas_trace import OctantSweep3D, supports
+
+            if supports(shape, self.src_idx, nd):
+                if self._octant_sweep is None:
+                    self._octant_sweep = OctantSweep3D(
+                        shape, self.src_idx, self.tau_min)
+                return self._octant_sweep(dtau) - dtau
         src = self.src_idx
         tmin = self.tau_min
         col0 = jnp.zeros_like(dtau)
