@@ -1,0 +1,50 @@
+"""Interpret-mode equivalence of the Pallas octant raytrace sweep
+(raytracing/pallas_trace.py) vs the L1-shell scan reference tracer —
+the tracer-variant cross-check the reference gets from silocompare
+(SURVEY.md §4).  Covers centered, off-center, corner and boundary
+sources (the corner/off-center cases exercise the OOB index clamps)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pion_tpu import SimConfig
+from pion_tpu.grid import make_geometry
+from pion_tpu.raytracing.pallas_trace import OctantSweep3D, supports
+from pion_tpu.raytracing.tracer import (PointSourcePlaneTracer,
+                                        PointSourceTracer)
+
+CASES = [
+    ((16, 16, 16), (0.5, 0.5, 0.5)),
+    ((16, 12, 20), (0.3, 0.6, 0.45)),
+    ((8, 8, 8), (0.03, 0.03, 0.03)),    # corner source
+    ((8, 8, 8), (0.97, 0.2, 0.6)),      # boundary, strongly off-center
+]
+
+
+@pytest.mark.parametrize("shape,pos_frac", CASES)
+def test_octant_sweep_matches_shell_scan(shape, pos_frac):
+    xmax = tuple(n / 16 for n in shape)
+    cfg = SimConfig(ndim=3, eqn="euler", solver="hll", shape=shape,
+                    xmin=(0.0, 0.0, 0.0), xmax=xmax,
+                    bcs=tuple([("outflow", "outflow")] * 3),
+                    dtype="float32")
+    geom = make_geometry(cfg)
+    pos = tuple(pos_frac[a] * xmax[a] for a in range(3))
+    tr_ref = PointSourceTracer(cfg, geom, pos)
+    tr_pl = PointSourcePlaneTracer(cfg, geom, pos)
+    assert supports(shape, tr_pl.src_idx, 3)
+    rng = np.random.default_rng(3)
+    dtau = jnp.asarray(rng.uniform(0.01, 0.5, shape).astype(np.float32))
+    tau_ref = tr_ref.trace(dtau)
+    sweep = OctantSweep3D(shape, tr_pl.src_idx, tr_pl.tau_min,
+                          interpret=True)
+    tau_k = sweep(dtau) - dtau
+    assert float(jnp.max(jnp.abs(tau_k - tau_ref))) < 5e-6 * float(
+        jnp.max(tau_ref))
+
+
+def test_supports_gates_on_vmem():
+    # centered 128^3 fits; a corner source at 192^3 does not
+    assert supports((128, 128, 128), (64, 64, 64), 3)
+    assert not supports((192, 192, 192), (0, 0, 0), 3)
+    assert not supports((64, 64), (32, 32), 2)
