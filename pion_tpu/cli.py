@@ -594,6 +594,9 @@ def run_main(argv: List[str]) -> "object":
     from .ng import NGHierarchy
     from .sim import Simulation
 
+    from .parallel.mesh import maybe_distributed_init
+
+    maybe_distributed_init()
     target = argv[0]
     overrides = argv[1:]
     is_snapshot = any(target.endswith(s) for s in (".snap", ".npz")) or (
@@ -609,6 +612,11 @@ def run_main(argv: List[str]) -> "object":
             sim = NGHierarchy.restart(target)
         else:
             sim = Simulation.restart(target)
+        if params.get("mesh"):
+            if cfg.nlevels > 1:
+                sim.cfg0 = sim.cfg0.with_(mesh=params["mesh"])
+            else:
+                sim.cfg = sim.cfg.with_(mesh=params["mesh"])
         tmax = params.get("FinishTime") or params.get("finishtime")
         if tmax:
             if cfg.nlevels > 1:
@@ -625,6 +633,8 @@ def run_main(argv: List[str]) -> "object":
     else:
         params = apply_overrides(read_paramfile(target), overrides)
         cfg = cfg_ics_overrides(config_from_params(params), params)
+        if params.get("mesh"):
+            cfg = cfg.with_(mesh=params["mesh"])
         phys = physics_from_params(cfg, params)
         t0 = float(params.get("StartTime", 0.0))
         opts = _output_opts(params)

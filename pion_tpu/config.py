@@ -68,6 +68,12 @@ class SimConfig:
     # ppermute path (parallel/halo.py — Cartesian pure-dynamics only,
     # the MCMD_boundaries equivalent)
     halo: str = "gspmd"
+    # device-mesh execution: "auto" shards the state over ALL visible
+    # devices on construction (multi-chip runs need nothing else under
+    # GSPMD — the jitted step follows the input sharding); "off" keeps
+    # the state on one device (reference: the MPI binaries ARE the
+    # parallel entry point, main_NG_MPI.cpp:40-60 — here the same CLI is)
+    mesh: str = "auto"
     # HLLD->HLL switch in compressive strong-gradient zones (Mignone+ 2011;
     # reference behavior).  Disable to trade robustness for ~25% step speed.
     hlld_fallback: bool = True

@@ -106,8 +106,8 @@ class MPv3:
         self.mpc = mpc
         self._build_tables()
         self._update_jit = jax.jit(self._update_impl, static_argnames=("cfg",))
-        self._timescales_jit = jax.jit(self._timescales_impl,
-                                       static_argnames=("cfg",))
+        self._timescales_jit = jax.jit(
+            self._timescales_impl, static_argnames=("cfg", "with_ydot"))
 
     # -- setup-time table construction (numpy; reference: MPv3.cpp:1945) ----
     def _build_tables(self):
@@ -550,7 +550,8 @@ class MPv3:
         if self._use_pallas(rt, Eint.dtype):
             from .pallas_mpv3 import update_pallas
 
-            omx1, E1 = update_pallas(self, omx, Eint, nH, dt, rt)
+            omx1, E1 = update_pallas(self, omx, Eint, nH, dt, rt,
+                                     f0=rt.get("f0"))
             return self._finish_update(P, nH, omx1, E1)
 
         d_omx, d_E = self.ydot(omx, Eint, nH, rt)
@@ -653,18 +654,27 @@ class MPv3:
         out = out.at[c.tracer_slot].set(x1)
         return out
 
-    def timescales(self, P, cfg: SimConfig, rt: Optional[Dict] = None):
+    def timescales(self, P, cfg: SimConfig, rt: Optional[Dict] = None,
+                   with_ydot: bool = False):
         """Chemistry timestep limit (reference: MPv3.cpp:1268-1345,
-        MP_LIM3-style: DTFRAC / |d(1-x)/dt| plus energy-change limit)."""
+        MP_LIM3-style: DTFRAC / |d(1-x)/dt| plus energy-change limit).
+        ``with_ydot``: also return the (d_omx, d_E) evaluation so the
+        caller can seed the subsequent update's first evaluation."""
         if rt is None:
             rt = self.default_rt(P)
-        return self._timescales_jit(P, cfg, rt)
+        return self._timescales_jit(P, cfg, rt, with_ydot=with_ydot)
 
-    def _timescales_impl(self, P, cfg: SimConfig, rt: Dict):
+    def _timescales_impl(self, P, cfg: SimConfig, rt: Dict,
+                         with_ydot: bool = False):
         c = self.mpc
         nH = self.n_H(P[RO])
         Eint = P[PG] / (c.gamma - 1.0)
         omx = jnp.clip(1.0 - P[c.tracer_slot], MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
+        # same pressure floor as the update, so the returned ydot can be
+        # reused verbatim as the update's first evaluation
+        E_floor = self.n_tot(nH, 1.0 - omx) * K_B * c.min_temperature \
+            / (c.gamma - 1.0)
+        Eint = jnp.where(Eint > 0.0, Eint, E_floor)
         if self._use_pallas(rt, Eint.dtype):
             from .pallas_mpv3 import ydot_pallas
 
@@ -673,7 +683,10 @@ class MPv3:
             d_omx, d_E = self.ydot(omx, Eint, nH, rt)
         t = DTFRAC / (jnp.abs(d_omx) + 1.0e-100)
         t = jnp.minimum(t, DTFRAC * Eint / (jnp.abs(d_E) + 1.0e-100))
-        return jnp.min(t)
+        tmin = jnp.min(t)
+        if with_ydot:
+            return tmin, (d_omx, d_E)
+        return tmin
 
     def default_rt(self, P) -> Dict:
         """No-raytracer defaults (reference: MPv3 constructor :338-346)."""

@@ -57,19 +57,17 @@ def supports(mp, rt: Dict, dtype) -> bool:
     return c.ion_src in (None, "mono", "mfion")
 
 
-def _hat_curves_T(Tc, tabT, lnT0, dlnT, nt):
+def _hat_curves_T(Tc, tabT, invTr, g):
     """All 1D temperature curves for one (TILE, 128) block.
 
     Exact linear-in-T interpolation on the log-uniform grid
     T_r = exp(lnT0 + r*dlnT) (identical to the reference's table scheme,
     MPv3.cpp:1655-1676): per sublane slice s, build the hat matrix
     phi[r, l] = max(0, min((T/T_{r-1}-..), (T_{r+1}-T)/..)) and fetch all
-    curves with one MXU matmul tabT @ phi."""
-    g = float(np.exp(dlnT))
+    curves with one MXU matmul tabT @ phi.  ``invTr``: the (nt, 1)
+    precomputed 1/T_r node column (a kernel input — recomputing the exps
+    per tile dominated the eval cost)."""
     inv_gm1 = 1.0 / (g - 1.0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (nt, LANES), 0)
-    # invT_r = exp(-(lnT0 + r*dlnT))
-    invTr = jnp.exp(-(lnT0 + r.astype(Tc.dtype) * dlnT))
     outs = []
     for s in range(TILE):
         u = Tc[s:s + 1, :] * invTr                      # (nt, 128) = T/T_r
@@ -112,7 +110,18 @@ def _make_ydot_tile(mp, ion_mode: str, has_uv: bool):
     Z = c.metallicity
     LOGTEN = float(np.log(10.0))
 
-    def ydot(omx_in, Eint, nH, tau0, ds, nvsv, g0uv, g0ir, t1T, tauT):
+    g = float(np.exp(dlnT))
+
+    def rows(tau, tauT):
+        """Photoion rate/heat/low-tau-slope curves at tau (4 rows)."""
+        tmin, tmax = mp.tau_bounds
+        lt = jnp.log10(jnp.clip(tau, tmin, tmax))
+        f = (lt - mp._ltau0) * mp._inv_dltau
+        vs = _hat_curves_f(f, tauT, mp._n_tau)
+        return [jnp.exp(LOGTEN * v) for v in vs]
+
+    def ydot(omx_in, Eint, nH, tau0, ds, nvsv, g0uv, g0ir, t1T, tauT,
+             invTr, r0=None):
         omx = jnp.maximum(omx_in, MIN_NEUTRAL)
         x = 1.0 - omx
         T = (c.gamma - 1.0) * Eint / (
@@ -122,7 +131,7 @@ def _make_ydot_tile(mp, ion_mode: str, has_uv: bool):
         ne = c.n_elec * x * nH + nH * 1.5e-4 * Z * expnh
 
         (cirh, C_cih0, rrhp, C_rrh, C_ffhe, C_cxh0, C_fbdn, C_cie,
-         C_cxch, C_cxo) = _hat_curves_T(Tc, t1T, lnT, dlnT, nt)
+         C_cxch, C_cxo) = _hat_curves_T(Tc, t1T, invTr, g)
 
         lnTc = jnp.log(Tc)
         sqT = jnp.sqrt(Tc)
@@ -145,17 +154,9 @@ def _make_ydot_tile(mp, ion_mode: str, has_uv: bool):
             Edot += rate * E_EXCESS
         elif ion_mode == "mfion":
             dtau_cur = nH * ds * omx * SIGMA0
-            tmin, tmax = mp.tau_bounds
-            ntau = mp._n_tau
-
-            def rows(tau):
-                lt = jnp.log10(jnp.clip(tau, tmin, tmax))
-                f = (lt - mp._ltau0) * mp._inv_dltau
-                vs = _hat_curves_f(f, tauT, ntau)
-                return [jnp.exp(LOGTEN * v) for v in vs]
-
-            r0 = rows(tau0)
-            r1 = rows(tau0 + dtau_cur)
+            if r0 is None:
+                r0 = rows(tau0, tauT)
+            r1 = rows(tau0 + dtau_cur, tauT)
             big = r0[0] - r1[0]
             small = r0[2] * dtau_cur / (SIGMA0 * nH)
             pir = jnp.where(dtau_cur < 0.01, small, big) * nvsv / nH
@@ -193,7 +194,7 @@ def _make_ydot_tile(mp, ion_mode: str, has_uv: bool):
             cold, jnp.minimum(0.0, Edot * (T - Tmin) / Tmin), Edot)
         return omx_dot, Edot
 
-    return ydot
+    return ydot, rows
 
 
 def _flatten_pad(a, n_pad, fill):
@@ -252,6 +253,17 @@ def _t1_tabT(mp, dtype):
     return jnp.asarray(np.asarray(mp.tab["t1_stack"]).T[1:], dtype=dtype)
 
 
+
+def _invTr_col(mp, dtype):
+    """(NT, 1) precomputed 1/T_r node column for the T-space hat build."""
+    c = mp.mpc
+    nt = c.n_table
+    lnT = np.log(c.min_temperature)
+    dlnT = np.log(c.max_temperature / c.min_temperature) / (nt - 1)
+    return jnp.asarray(
+        np.exp(-(lnT + np.arange(nt) * dlnT))[:, None], dtype=dtype)
+
+
 # ---------------------------------------------------------------------------
 # plain ydot (timescales + external callers)
 # ---------------------------------------------------------------------------
@@ -266,7 +278,7 @@ def ydot_pallas(mp, omx, Eint, nH, rt: Dict, interpret: bool = False):
     n_pad = -(-n // (TILE * LANES)) * (TILE * LANES)
     ion_mode = c.ion_src or "none"
     has_uv = bool(c.n_diff_srcs)
-    ydot_tile = _make_ydot_tile(mp, ion_mode, has_uv)
+    ydot_tile, _rows = _make_ydot_tile(mp, ion_mode, has_uv)
 
     o2 = _flatten_pad(omx, n_pad, 0.5)
     e2 = _flatten_pad(Eint, n_pad, 1.0)
@@ -274,12 +286,13 @@ def ydot_pallas(mp, omx, Eint, nH, rt: Dict, interpret: bool = False):
     tau0, ds, nvsv, g0uv, g0ir, taustack = _rt_planes(
         mp, rt, shape, dtype, n_pad)
     t1T = _t1_tabT(mp, dtype)
+    invTr = _invTr_col(mp, dtype)
 
-    def kernel(t1_ref, tau_ref, o_ref, e_ref, h_ref, tau0_ref, ds_ref,
-               nv_ref, guv_ref, gir_ref, do_ref, de_ref):
+    def kernel(t1_ref, tau_ref, it_ref, o_ref, e_ref, h_ref, tau0_ref,
+               ds_ref, nv_ref, guv_ref, gir_ref, do_ref, de_ref):
         f0, f1 = ydot_tile(o_ref[:], e_ref[:], h_ref[:], tau0_ref[:],
                            ds_ref[:], nv_ref[:], guv_ref[:], gir_ref[:],
-                           t1_ref[:], tau_ref[:])
+                           t1_ref[:], tau_ref[:], it_ref[:])
         do_ref[:] = f0
         de_ref[:] = f1
 
@@ -294,11 +307,12 @@ def ydot_pallas(mp, omx, Eint, nH, rt: Dict, interpret: bool = False):
                    jax.ShapeDtypeStruct((rows, LANES), dtype)),
         grid=grid,
         in_specs=[full(t1T.shape, lambda i: (0, 0)),
-                  full(taustack.shape, lambda i: (0, 0))]
+                  full(taustack.shape, lambda i: (0, 0)),
+                  full(invTr.shape, lambda i: (0, 0))]
         + [tile_spec] * 8,
         out_specs=(tile_spec, tile_spec),
         interpret=interpret,
-    )(t1T, taustack, o2, e2, h2, tau0, ds, nvsv, g0uv, g0ir)
+    )(t1T, taustack, invTr, o2, e2, h2, tau0, ds, nvsv, g0uv, g0ir)
     d_omx = out[0].ravel()[:n].reshape(shape)
     d_E = out[1].ravel()[:n].reshape(shape)
     return d_omx, d_E
@@ -310,7 +324,7 @@ def ydot_pallas(mp, omx, Eint, nH, rt: Dict, interpret: bool = False):
 
 def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
                   n_sub: int = 32, n_newton: int = 8,
-                  interpret: bool = False):
+                  interpret: bool = False, f0=None):
     """Advance (1-x, E) of every cell by dt: forward Euler below the
     EULER_CUTOFF, per-tile backward-Euler Newton ladder above it
     (reference: MPv3.cpp:1146-1235 + cvode_integrator.cpp).  Returns
@@ -326,7 +340,7 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
     n_pad = -(-n // (TILE * LANES)) * (TILE * LANES)
     ion_mode = c.ion_src or "none"
     has_uv = bool(c.n_diff_srcs)
-    ydot_tile = _make_ydot_tile(mp, ion_mode, has_uv)
+    ydot_tile, rows_fn = _make_ydot_tile(mp, ion_mode, has_uv)
     tol = 1.0e-11 if dtype == jnp.float64 else 1.0e-6
 
     o2 = _flatten_pad(omx0, n_pad, 0.5)
@@ -335,10 +349,19 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
     tau0, ds, nvsv, g0uv, g0ir, taustack = _rt_planes(
         mp, rt, shape, dtype, n_pad)
     t1T = _t1_tabT(mp, dtype)
+    invTr = _invTr_col(mp, dtype)
     dt_arr = jnp.asarray([[dt]], dtype=dtype)
+    have_f0 = f0 is not None
+    if have_f0:
+        f0o2 = _flatten_pad(f0[0].astype(dtype), n_pad, 0.0)
+        f0e2 = _flatten_pad(f0[1].astype(dtype), n_pad, 0.0)
 
-    def kernel(dt_ref, t1_ref, tau_ref, o_ref, e_ref, h_ref, tau0_ref,
-               ds_ref, nv_ref, guv_ref, gir_ref, oo_ref, eo_ref):
+    def kernel(dt_ref, t1_ref, tau_ref, it_ref, o_ref, e_ref, h_ref,
+               tau0_ref, ds_ref, nv_ref, guv_ref, gir_ref, *rest):
+        if have_f0:
+            f0o_ref, f0e_ref, oo_ref, eo_ref = rest
+        else:
+            oo_ref, eo_ref = rest
         dt_v = dt_ref[0, 0]
         omx = o_ref[:]
         E = e_ref[:]
@@ -350,15 +373,25 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
         gir = gir_ref[:]
         t1 = t1_ref[:]
         taus = tau_ref[:]
+        itr = it_ref[:]
+        # tau0 is constant through the whole ladder: its 4-curve lookup is
+        # hoisted out of every Newton/linearize evaluation
+        r0 = rows_fn(tau0v, taus) if ion_mode == "mfion" else None
 
         def rhs(o, e):
-            return ydot_tile(o, e, nHv, tau0v, dsv, nvv, guv, gir, t1, taus)
+            return ydot_tile(o, e, nHv, tau0v, dsv, nvv, guv, gir, t1,
+                             taus, itr, r0=r0)
 
-        f0, f1 = rhs(omx, E)
-        maxdelta = jnp.maximum(jnp.abs(f0 * dt_v / omx),
-                               jnp.abs(f1 * dt_v / E))
-        omx_eul = omx + dt_v * f0
-        E_eul = E + dt_v * f1
+        if have_f0:
+            # first evaluation seeded by the caller (the dt-limit ydot on
+            # the identical state/columns)
+            f0v, f1v = f0o_ref[:], f0e_ref[:]
+        else:
+            f0v, f1v = rhs(omx, E)
+        maxdelta = jnp.maximum(jnp.abs(f0v * dt_v / omx),
+                               jnp.abs(f1v * dt_v / E))
+        omx_eul = omx + dt_v * f0v
+        E_eul = E + dt_v * f1v
         use_euler = maxdelta < EULER_CUTOFF
         stiffness = jnp.max(jnp.where(use_euler, 0.0, maxdelta))
 
@@ -432,6 +465,12 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
                              memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     full = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    args = [dt_arr, t1T, taustack, invTr, o2, e2, h2, tau0, ds, nvsv,
+            g0uv, g0ir]
+    n_tiles = 8
+    if have_f0:
+        args += [f0o2, f0e2]
+        n_tiles += 2
     out = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), dtype),
@@ -439,11 +478,12 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
         grid=grid,
         in_specs=[smem,
                   full(t1T.shape, lambda i: (0, 0)),
-                  full(taustack.shape, lambda i: (0, 0))]
-        + [tile_spec] * 8,
+                  full(taustack.shape, lambda i: (0, 0)),
+                  full(invTr.shape, lambda i: (0, 0))]
+        + [tile_spec] * n_tiles,
         out_specs=(tile_spec, tile_spec),
         interpret=interpret,
-    )(dt_arr, t1T, taustack, o2, e2, h2, tau0, ds, nvsv, g0uv, g0ir)
+    )(*args)
     omx1 = out[0].ravel()[:n].reshape(shape)
     E1 = out[1].ravel()[:n].reshape(shape)
     return omx1, E1

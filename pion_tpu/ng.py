@@ -77,10 +77,57 @@ def make_level_cfg(cfg0: SimConfig, level: int,
 
 
 def _pairsum(a, axis):
-    """Sum adjacent pairs along ``axis`` (length n -> n//2)."""
-    a = jnp.moveaxis(a, axis, -1)
-    a = a.reshape(a.shape[:-1] + (a.shape[-1] // 2, 2)).sum(axis=-1)
-    return jnp.moveaxis(a, -1, axis)
+    """Sum adjacent pairs along ``axis`` (length n -> n//2).
+
+    In-place reshape (row-major split of the axis) instead of moveaxis:
+    a moveaxis is a full-array transpose on TPU (~ms at 128^3 x nvar),
+    the split-reshape is free."""
+    axis = axis % a.ndim
+    sh = a.shape
+    a = a.reshape(sh[:axis] + (sh[axis] // 2, 2) + sh[axis + 1:])
+    return a.sum(axis=axis + 1)
+
+
+def _clamped_slice(A, axis, start, count):
+    """Edge-clamped window [start, start+count) along ``axis``."""
+    n = A.shape[axis]
+    lo_pad = max(0, -start)
+    hi_pad = max(0, start + count - n)
+    core = jax.lax.slice_in_dim(A, start + lo_pad, start + count - hi_pad,
+                                axis=axis)
+    if not lo_pad and not hi_pad:
+        return core
+    parts = []
+    if lo_pad:
+        parts.extend([jax.lax.slice_in_dim(A, 0, 1, axis=axis)] * lo_pad)
+    parts.append(core)
+    if hi_pad:
+        parts.extend([jax.lax.slice_in_dim(A, n - 1, n, axis=axis)]
+                     * hi_pad)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _upsample2_clamped(A, axis, start, count):
+    """``A`` windowed to ``count`` cells from ``start`` (edge-clamped) and
+    each cell repeated twice along ``axis`` — the regular stride-2 gather
+    pattern of C2F prolongation (indices clip(start+floor(i/2))) expressed
+    as slice+repeat, which XLA lowers as broadcast/reshape instead of a
+    slow TPU gather."""
+    n = A.shape[axis]
+    lo_pad = max(0, -start)
+    hi_pad = max(0, start + count - n)
+    core = jax.lax.slice_in_dim(A, start + lo_pad, start + count - hi_pad,
+                                axis=axis)
+    parts = []
+    if lo_pad:
+        edge = jax.lax.slice_in_dim(A, 0, 1, axis=axis)
+        parts.extend([edge] * lo_pad)
+    parts.append(core)
+    if hi_pad:
+        edge = jax.lax.slice_in_dim(A, n - 1, n, axis=axis)
+        parts.extend([edge] * hi_pad)
+    W = jnp.concatenate(parts, axis=axis) if len(parts) > 1 else core
+    return jnp.repeat(W, 2, axis=axis)
 
 
 class NGHierarchy:
@@ -171,6 +218,14 @@ class NGHierarchy:
         # normalize to the config dtype (see Simulation.__post_init__:
         # arrays made before the x64 flip would mix dtypes in-graph)
         self.P = [jnp.asarray(s, dtype=self.cfg0.np_dtype) for s in states]
+        if self.cfg0.mesh == "auto" and len(jax.devices()) > 1 \
+                and self.cfg0.halo != "explicit":
+            # every level shares one spatial device mesh (reference:
+            # per-level MCMD decomposition over ALL ranks, sim_params.h:189)
+            from .parallel.mesh import make_mesh, shard_state
+
+            self.mesh = make_mesh(self.cfg0)
+            self.P = [shard_state(p, self.mesh, self.cfg0) for p in self.P]
         self.bdata = make_fixed_strips(np.asarray(self.P[0]), self.cfgs[0])
         # frozen INFLOW/FIXED ghost strips for fine-level domain faces
         # (full padded transverse shape, captured from the initial state by
@@ -208,40 +263,90 @@ class NGHierarchy:
         cfg_f = self.cfgs[level]
         nd = cfg_f.ndim
         ng = cfg_f.ng
+        assert ng == 2, "stride-2 upsample pattern assumes ghost depth 2"
         off = self.offs[level]
         # parent index of each fine padded cell per axis: fine cell i_f
-        # (counted from the child's xmin) sits in parent off + i_f//2
-        idxs = []
+        # (counted from the child's xmin) sits in parent off + i_f//2 —
+        # a regular pattern: parent window [off-1, off+n/2] edge-clamped,
+        # each cell used twice (see _upsample2_clamped; the previous
+        # jnp.take formulation lowered to ~ms-scale TPU gathers)
         offs = []
+        starts = []
+        counts = []
         for ax in range(nd):
             n = cfg_f.shape[ax]
             i_f = np.arange(-ng, n + ng)
-            ip = off[ax] + np.floor_divide(i_f, 2)
             o = np.where(i_f % 2 == 0, -0.25, +0.25)  # units of parent dx
-            idxs.append(jnp.asarray(np.clip(ip, 0, n - 1)))
-            offs.append(jnp.asarray(o))
+            offs.append(jnp.asarray(o.astype(cfg_f.np_dtype)))
+            starts.append(off[ax] - 1)
+            counts.append(n // 2 + ng)
 
-        # gather the parent values over all axes, then add limited-slope
-        # offsets per axis (edge cells get one-sided zero slope via padding)
-        val = Pc
-        for ax in range(nd):
-            val = jnp.take(val, idxs[ax], axis=1 + ax)
-        total = val
+        def upsample_all(A):
+            for ax in range(nd):
+                A = _upsample2_clamped(A, 1 + ax, starts[ax], counts[ax])
+            return A
+
+        total = upsample_all(Pc)
         for ax in range(nd):
             a = 1 + ax
-            lo = jnp.take(Pc, jnp.asarray([0]), axis=a)
-            hi = jnp.take(Pc, jnp.asarray([Pc.shape[a] - 1]), axis=a)
+            lo = jax.lax.slice_in_dim(Pc, 0, 1, axis=a)
+            hi = jax.lax.slice_in_dim(Pc, Pc.shape[a] - 1, Pc.shape[a],
+                                      axis=a)
             ppad = jnp.concatenate([lo, Pc, hi], axis=a)
             d = jnp.diff(ppad, axis=a)
             sl = van_albada(
                 jax.lax.slice_in_dim(d, 0, d.shape[a] - 1, axis=a),
                 jax.lax.slice_in_dim(d, 1, d.shape[a], axis=a),
             )
-            for bx in range(nd):
-                sl = jnp.take(sl, idxs[bx], axis=1 + bx)
+            sl = upsample_all(sl)
             shape = [1] * (nd + 1)
             shape[a] = len(offs[ax])
             total = total + sl * offs[ax].reshape(shape)
+        return total
+
+    def _prolong_window(self, Pc, level: int, franges):
+        """Prolongated fine-padded values for the box given by per-axis
+        fine ranges ``(fstart, fcount)`` in fine-padded coordinates
+        i_f in [-ng, n+ng) (both even).  Identical values to the
+        corresponding window of :meth:`_prolong_padded`, at window cost —
+        the full-cube prolongation spends ~10 ms at 128^3 computing fine
+        interior values that are immediately overwritten by the level's
+        own state; the ghost shells are ~1/20 of the volume."""
+        cfg_f = self.cfgs[level]
+        nd = cfg_f.ndim
+        off = self.offs[level]
+        ps, pc, offvecs = [], [], []
+        for ax, (fs, fcnt) in enumerate(franges):
+            assert fs % 2 == 0 and fcnt % 2 == 0
+            ps.append(off[ax] + fs // 2)
+            pc.append(fcnt // 2)
+            i_f = np.arange(fs, fs + fcnt)
+            o = np.where(i_f % 2 == 0, -0.25, +0.25)
+            offvecs.append(jnp.asarray(o.astype(cfg_f.np_dtype)))
+
+        def up_all(A):
+            for ax in range(nd):
+                A = _upsample2_clamped(A, 1 + ax, ps[ax], pc[ax])
+            return A
+
+        total = up_all(Pc)
+        for ax in range(nd):
+            a = 1 + ax
+            # limited slope at the parent rows of this window (one-row
+            # margins, edge-clamped like the full-parent version)
+            marg = _clamped_slice(Pc, a, ps[ax] - 1, pc[ax] + 2)
+            d = jnp.diff(marg, axis=a)
+            sl = van_albada(
+                jax.lax.slice_in_dim(d, 0, d.shape[a] - 1, axis=a),
+                jax.lax.slice_in_dim(d, 1, d.shape[a], axis=a),
+            )
+            sl = jnp.repeat(sl, 2, axis=a)
+            for bx in range(nd):
+                if bx != ax:
+                    sl = _upsample2_clamped(sl, 1 + bx, ps[bx], pc[bx])
+            shape = [1] * (nd + 1)
+            shape[a] = len(offvecs[ax])
+            total = total + sl * offvecs[ax].reshape(shape)
         return total
 
     def _pad_level(self, level: int, Ph, parent_state):
@@ -251,10 +356,28 @@ class NGHierarchy:
         cfg = self.cfgs[level]
         if level == 0:
             return apply_bcs(Ph, cfg, self.bdata)
-        padded = self._prolong_padded(parent_state, level)
         ng = cfg.ng
-        sl = (slice(None),) + tuple(slice(ng, -ng) for _ in range(cfg.ndim))
-        padded = padded.at[sl].set(Ph)
+        nd = cfg.ndim
+        n = cfg.shape
+        # ghost slabs only (nested concat; corners come from the first
+        # axis's full-transverse slabs, identical to the full prolongation)
+        padded = Ph
+        for ax in range(nd - 1, -1, -1):
+            franges = []
+            for bx in range(nd):
+                if bx < ax:
+                    franges.append((0, n[bx]))
+                elif bx == ax:
+                    franges.append(None)  # placeholder
+                else:
+                    franges.append((-ng, n[bx] + 2 * ng))
+            fr_lo = list(franges)
+            fr_lo[ax] = (-ng, ng)
+            fr_hi = list(franges)
+            fr_hi[ax] = (n[ax], ng)
+            lo = self._prolong_window(parent_state, level, fr_lo)
+            hi = self._prolong_window(parent_state, level, fr_hi)
+            padded = jnp.concatenate([lo, padded, hi], axis=1 + ax)
         for ax, sd in self.dom_sides[level]:
             padded = fill_ghost_side(
                 padded, cfg, ax, sd,
@@ -281,12 +404,14 @@ class NGHierarchy:
             W = _pairsum(W, 1 + ax)
             V = _pairsum(V, ax)
         Uc_win = W / V
-        Uc = prim_to_cons(Pc, cfg_c)
+        # window-only conversion: uncovered coarse cells stay bitwise
+        # untouched (the previous full-grid prim->cons->prim round trip
+        # cost ~2 ms at 128^3 and added fp noise outside the window)
+        P_win = cons_to_prim(Uc_win, cfg_c)
         sl = (slice(None),) + tuple(
             slice(off[ax], off[ax] + cfg_c.shape[ax] // 2)
             for ax in range(nd))
-        Uc = Uc.at[sl].set(Uc_win)
-        return cons_to_prim(Uc, cfg_c)
+        return Pc.at[sl].set(P_win)
 
     # -- BC89 flux correction ----------------------------------------------
     def _face_weights(self, level: int, ax: int) -> Dict[int, np.ndarray]:
@@ -540,17 +665,42 @@ class NGHierarchy:
                                  and jax.default_backend() in ("tpu", "axon")
                                  and cfg.dtype == "float32")))
         if use_fast:
-            from .ops.sweep import interface_flux
+            from .ops.sweep import interface_flux, interface_flux_pair
 
             dU_f = pallas_sweep.dynamics_dU_pallas(
                 Ppad, cfg, geom, dt, 2, ch=ch,
                 interpret=(cfg.pallas == "interpret"), scma=scma)
             _fcache: Dict = {}
+            # known face pairs (leaf boundary planes / child interface
+            # planes) are computed two-at-a-time from one 8-cell slab
+            pair_of = [dict() for _ in range(cfg.ndim)]
+            if level > 0:
+                for ax_ in range(cfg.ndim):
+                    pair_of[ax_][0] = cfg.shape[ax_]
+                    pair_of[ax_][cfg.shape[ax_]] = 0
+            if level + 1 < self.n_levels:
+                off_c = self.offs[level + 1]
+                for ax_ in range(cfg.ndim):
+                    lo_i = off_c[ax_]
+                    hi_i = off_c[ax_] + cfg.shape[ax_] // 2
+                    pair_of[ax_].setdefault(lo_i, hi_i)
+                    pair_of[ax_].setdefault(hi_i, lo_i)
 
             def get_face(ax_, i_):
                 if (ax_, i_) not in _fcache:
-                    _fcache[(ax_, i_)] = interface_flux(
-                        Ppad, cfg, geom, ax_, i_, dt, 2, ch=ch, scma=scma)
+                    j2 = pair_of[ax_].get(i_)
+                    if j2 is not None and j2 != i_ \
+                            and (ax_, j2) not in _fcache:
+                        a, b = sorted((i_, j2))
+                        Fa, Fb = interface_flux_pair(
+                            Ppad, cfg, geom, ax_, a, b, dt, 2, ch=ch,
+                            scma=scma)
+                        _fcache[(ax_, a)] = Fa
+                        _fcache[(ax_, b)] = Fb
+                    else:
+                        _fcache[(ax_, i_)] = interface_flux(
+                            Ppad, cfg, geom, ax_, i_, dt, 2, ch=ch,
+                            scma=scma)
                 return _fcache[(ax_, i_)]
         else:
             dU_f, faces = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch,
@@ -650,10 +800,21 @@ class NGHierarchy:
                             # point-source columns need no parent tau
                             # offsets: trace once, reuse in the predictor
                             r = phys.raytrace(states[l], sp=sp)
+                        if r is not None:
+                            # the dt-limit ydot doubles as the predictor
+                            # update's first evaluation (same state, same
+                            # columns) — carried through rt0_map["f0"]
+                            ts, f0 = phys.timescale(
+                                states[l], self.cfgs[l], rt=r, sp=sp,
+                                with_ydot=True)
+                            r = dict(r)
+                            r["f0"] = f0
                             rt0_map[l] = r
-                        d = jnp.minimum(
-                            d, phys.timescale(states[l], self.cfgs[l],
-                                              rt=r, sp=sp))
+                            d = jnp.minimum(d, ts)
+                        else:
+                            d = jnp.minimum(
+                                d, phys.timescale(states[l], self.cfgs[l],
+                                                  rt=r, sp=sp))
                     vals.append(d * (2 ** l))
                 dt = jnp.min(jnp.stack(vals))
                 dt = jnp.where(last_dt > 0.0,

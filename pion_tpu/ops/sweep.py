@@ -292,13 +292,17 @@ def dynamics_dU(
     order: int,
     ch=None,
     scma: bool = False,
+    axes=None,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """dt * (-div F + geometric/Powell/GLM sources) for all interior cells.
 
     ``Ph_pad`` is the primitive state padded with ``ng`` ghost cells on every
     axis (boundary conditions already applied).  ``order`` is the spatial
     order for this partial step (1 on the predictor half-step, cfg.ooa on the
-    corrector — reference: time_integrator.cpp:151-243).
+    corrector — reference: time_integrator.cpp:151-243).  ``axes``: restrict
+    the sweep to these axes (interface_flux needs one axis's faces only;
+    skipped axes append None to the face list).  The returned dU is only
+    the selected axes' contribution.
     """
     ng = cfg.ng
     dx = geom.dx
@@ -322,6 +326,9 @@ def dynamics_dU(
     dU = None
     face_fluxes: List[jnp.ndarray] = []
     for axis in range(nd):
+        if axes is not None and axis not in axes:
+            face_fluxes.append(None)
+            continue
         n = cfg.shape[axis]
         # interior on transverse axes only; sweep axis stays padded.
         # Hybrid layout: for non-minor axes one explicit transpose puts the
@@ -546,6 +553,43 @@ def interface_flux(Ph_pad, cfg: SimConfig, geom: Geometry, axis: int,
 
     geom_slab = make_geometry(cfg_slab)
     _, faces = dynamics_dU(slab_pad, cfg_slab, geom_slab, dt, order,
-                           ch=ch, scma=scma)
+                           ch=ch, scma=scma, axes=[axis])
     # slab has 5 interfaces; the middle one (index 2) is interface j
     return jnp.take(faces[axis], 2, axis=ax)
+
+
+def interface_flux_pair(Ph_pad, cfg: SimConfig, geom: Geometry, axis: int,
+                        j_lo: int, j_hi: int, dt, order: int, ch=None,
+                        scma: bool = False):
+    """Face fluxes at TWO interface planes of ``axis`` from ONE 8-cell
+    slab sweep (the two 4-cell stencils are disjoint, so concatenating
+    the slabs changes nothing for the two middle interfaces).  Halves the
+    slab-sweep count of the NG BC89/leaf-face machinery, whose per-call
+    cost is op-overhead-bound."""
+    from ..constants import Coord
+
+    assert cfg.coords is Coord.CARTESIAN
+    assert cfg.av in (AV.NONE, AV.FALLE)
+    ng = cfg.ng
+    nd = cfg.ndim
+    ax = 1 + axis
+    lo0 = ng + j_lo - 2
+    lo1 = ng + j_hi - 2
+    slab = jnp.concatenate(
+        [jax.lax.slice_in_dim(Ph_pad, lo0, lo0 + 4, axis=ax),
+         jax.lax.slice_in_dim(Ph_pad, lo1, lo1 + 4, axis=ax)], axis=ax)
+    pads = [(0, 0)] * (1 + nd)
+    pads[ax] = (ng, ng)
+    slab_pad = jnp.pad(slab, pads, mode="edge")
+    shape = list(cfg.shape)
+    shape[axis] = 8
+    xmax = list(cfg.xmax)
+    xmax[axis] = cfg.xmin[axis] + 8.0 * cfg.dx
+    cfg_slab = cfg.with_(shape=tuple(shape), xmax=tuple(xmax))
+    from ..grid import make_geometry
+
+    geom_slab = make_geometry(cfg_slab)
+    _, faces = dynamics_dU(slab_pad, cfg_slab, geom_slab, dt, order,
+                           ch=ch, scma=scma, axes=[axis])
+    F = faces[axis]
+    return jnp.take(F, 2, axis=ax), jnp.take(F, 6, axis=ax)

@@ -115,3 +115,28 @@ def state_sharding(mesh: Mesh, cfg: SimConfig) -> NamedSharding:
 
 def shard_state(Pstate, mesh: Mesh, cfg: SimConfig):
     return jax.device_put(Pstate, state_sharding(mesh, cfg))
+
+
+def maybe_distributed_init() -> bool:
+    """Multi-host bootstrap (the COMM->init equivalent of the reference
+    binaries, main_NG_MPI.cpp:40-60): call ``jax.distributed.initialize``
+    when standard cluster environment variables are present.  Idempotent;
+    returns True when running multi-process."""
+    import os
+
+    try:
+        if jax.process_count() > 1:
+            return True
+    except RuntimeError:
+        pass
+    markers = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+               "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+    if not any(os.environ.get(m) for m in markers):
+        return False
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process env that happens to set a
+        # marker (e.g. SLURM_JOB_ID on a login shell): stay single-process
+        return jax.process_count() > 1
+    return jax.process_count() > 1

@@ -266,12 +266,13 @@ class Physics:
                  else self.mp._update_impl(P, dt, cfg, self.mp.default_rt(P)))
         return prim_to_cons(P_new, cfg) - prim_to_cons(P, cfg)
 
-    def timescale(self, P, cfg: SimConfig, tau_in=None, rt=None, sp=None):
+    def timescale(self, P, cfg: SimConfig, tau_in=None, rt=None, sp=None,
+                  with_ydot=False):
         if rt is None:
             rt = self.raytrace(P, tau_in, sp=sp) if self.sources else None
         if rt is None:
             rt = self.mp.default_rt(P)
-        return self.mp._timescales_impl(P, cfg, rt)
+        return self.mp._timescales_impl(P, cfg, rt, with_ydot=with_ydot)
 
     def wind_exclude_mask(self):
         """Union of the (static) wind-region masks — cells the CFL dt

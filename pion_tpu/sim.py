@@ -73,6 +73,16 @@ class Simulation:
         if self.cfg.halo == "explicit":
             self.fns = self._make_explicit_halo_fns()
         else:
+            # multi-device GSPMD: shard the state over all visible devices;
+            # the jitted step follows the input sharding (the MPI-binary
+            # parallel entry point equivalent, main_NG_MPI.cpp:40-60)
+            import jax
+
+            if self.cfg.mesh == "auto" and len(jax.devices()) > 1:
+                from .parallel.mesh import make_mesh, shard_state
+
+                self.mesh = make_mesh(self.cfg)
+                self.P = shard_state(self.P, self.mesh, self.cfg)
             self.fns = make_step_fns(self.cfg, self.geom, self.bdata,
                                      physics=self.physics)
         self._ckpt_flip = 0

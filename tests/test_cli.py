@@ -356,3 +356,36 @@ RT_Nsources 0
     snap2 = icgen_main([str(pf2), "OutputFile=eqtest2"])
     _, P2, _, _ = load_snapshot(snap2)
     np.testing.assert_allclose(P2[cfg.eqn.nbase], 1.0e-6, rtol=1e-8)
+
+
+def test_run_mesh_auto_matches_single_device(tmp_path):
+    """CLI multi-device execution (cfg.mesh='auto'): the same run sharded
+    over the 8-device mesh must reproduce the single-device fields —
+    the silocompare serial-vs-parallel gate of the reference
+    (test_problems/blastwave_crt3d/compare_ser_pll.sh)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    pf = _write_params(tmp_path)
+    sim1 = run_main([pf, "max_steps=5", "mesh=off"])
+    assert len(sim1.P.sharding.device_set) == 1
+    sim8 = run_main([pf, "max_steps=5", "mesh=auto"])
+    assert len(sim8.P.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sim8.P), np.asarray(sim1.P),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_run_mesh_auto_ng(tmp_path):
+    """NG hierarchy through the CLI with every level sharded."""
+    import jax
+
+    pf = _write_params(tmp_path)
+    txt = open(pf).read().replace("ics BlastWave", "ics BlastWave\ngrid_nlevels 2")
+    open(pf, "w").write(txt)
+    sim1 = run_main([pf, "max_steps=2", "mesh=off"])
+    sim8 = run_main([pf, "max_steps=2", "mesh=auto"])
+    assert len(sim8.P[0].sharding.device_set) == 8
+    for l in range(2):
+        np.testing.assert_allclose(np.asarray(sim8.P[l]),
+                                   np.asarray(sim1.P[l]),
+                                   rtol=1e-12, atol=1e-13)
