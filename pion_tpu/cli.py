@@ -390,6 +390,9 @@ def physics_from_params(cfg: SimConfig, params) -> Optional[object]:
         ion_src=(ion[0].effect if ion else None),
         n_idot=(ion[0].strength if ion else 0.0),
         n_diff_srcs=n_diff,
+        # MPV3_DTLIMIT tier (reference compile flag,
+        # functionality_flags.h:63; runtime-selectable here)
+        dtlimit_tier=int(gf("MPV3_DTLIMIT", 6)),
     )
     if chem == "MPv3":
         from .microphysics import MPv3, MPv3Config
@@ -446,9 +449,10 @@ def physics_from_params(cfg: SimConfig, params) -> Optional[object]:
         ))
     else:
         raise ValueError(f"unknown chem_code {chem!r}")
-    # EP_MP_timestep_limit: 0 disables the chemistry dt limit
-    # (reference: sim_params.h:56-63 MP_timestep_limit modes; mode 0 = off)
-    dt_lim = bool(int(gf("EP_MP_timestep_limit", 1)))
+    # EP_MP_timestep_limit: the full reference mode menu (sim_params.h:
+    # 56-63): 0 off, 1 cooling, 2 cooling+recomb, 3 +ionisation, 4 recomb
+    # only (calc_timestep.cpp:444-458 switch)
+    dt_lim = int(gf("EP_MP_timestep_limit", 1))
     return Physics(mp=mp, sources=sources, wind_sources=winds,
                    dt_limit=dt_lim)
 

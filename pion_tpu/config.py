@@ -69,10 +69,12 @@ class SimConfig:
     # the MCMD_boundaries equivalent)
     halo: str = "gspmd"
     # device-mesh execution: "auto" shards the state over ALL visible
-    # devices on construction (multi-chip runs need nothing else under
-    # GSPMD — the jitted step follows the input sharding); "off" keeps
-    # the state on one device (reference: the MPI binaries ARE the
-    # parallel entry point, main_NG_MPI.cpp:40-60 — here the same CLI is)
+    # devices on construction when they are real accelerators (multi-chip
+    # runs need nothing else under GSPMD — the jitted step follows the
+    # input sharding); "on" forces sharding on any backend (used to
+    # exercise GSPMD on the virtual CPU mesh); "off" keeps the state on
+    # one device (reference: the MPI binaries ARE the parallel entry
+    # point, main_NG_MPI.cpp:40-60 — here the same CLI is)
     mesh: str = "auto"
     # HLLD->HLL switch in compressive strong-gradient zones (Mignone+ 2011;
     # reference behavior).  Disable to trade robustness for ~25% step speed.

@@ -226,6 +226,8 @@ class MPOnlyCooling(JitCachedMP):
     def default_rt(self, P):
         return {}
 
+    dt_limit_processes = ("cooling",)  # reference: mp_only_cooling.cpp:333
+
     def _timescales_impl(self, P, cfg: SimConfig, rt: Dict):
         mpc = self.mpc
         n, T = self._nT(P)

@@ -35,7 +35,22 @@ from . import tables as TB
 
 EULER_CUTOFF = 0.05     # reference: MPv3.h:90
 MIN_NEUTRAL = 1.0e-20   # reference: MPv3.h:94 JM_MINNEU
-DTFRAC = 0.25           # reference: MPv3.cpp:188-224 (MP_LIM3 default tier)
+DTFRAC = 0.25           # tier-2/6 fraction (reference: MPv3.cpp:188-224)
+
+
+def dtlimit_tier_params(tier: int):
+    """(dtfrac, energy_limit, relative_neufrac) for an MPV3_DTLIMIT tier
+    (reference: MPv3.cpp:185-228)."""
+    fracs5 = (1.0, 0.5, 0.25, 0.125, 0.0625)
+    fracs4 = (0.5, 0.25, 0.125, 0.0625)
+    if 0 <= tier <= 4:
+        return fracs5[tier], False, False
+    if 5 <= tier <= 8:
+        return fracs4[tier - 5], True, False
+    if 9 <= tier <= 12:
+        return fracs4[tier - 9], True, True
+    raise ValueError(f"MPV3_DTLIMIT tier {tier} not in 0..12 "
+                     "(reference: MPv3.cpp:185-228)")
 SIGMA0 = 6.3042e-18     # H0 photoionization cross-section at threshold
 E_MONO = 2.98e-11       # 5 eV above threshold (reference: MPv3.cpp:1744)
 E_EXCESS = 8.01e-12
@@ -58,6 +73,12 @@ class MPv3Config:
     rstar_cm: float = 0.0             # stellar radius [cm] for mfion
     n_diff_srcs: int = 0              # UV-heating source count
     n_table: int = 200                # lookup-table resolution
+    # MPV3_DTLIMIT tier (reference: MPv3.cpp:185-228 + defines/
+    # functionality_flags.h:63): 0-4 = DTFRAC {1,.5,.25,.125,.0625} on
+    # |xdot| only; 5-8 = + energy-change limit; 9-12 = + relative neutral
+    # fraction.  Default 6 (DTFRAC=0.25 with the energy limit) — the
+    # behavior this port has always had; the reference compiles tier 2.
+    dtlimit_tier: int = 6
 
     @property
     def x_frac(self) -> float:
@@ -681,8 +702,12 @@ class MPv3:
             d_omx, d_E = ydot_pallas(self, omx, Eint, nH, rt)
         else:
             d_omx, d_E = self.ydot(omx, Eint, nH, rt)
-        t = DTFRAC / (jnp.abs(d_omx) + 1.0e-100)
-        t = jnp.minimum(t, DTFRAC * Eint / (jnp.abs(d_E) + 1.0e-100))
+        frac, use_e, use_relx = dtlimit_tier_params(
+            getattr(c, "dtlimit_tier", 6))
+        num = jnp.maximum(5.0e-2, omx) if use_relx else 1.0
+        t = frac * num / (jnp.abs(d_omx) + 1.0e-100)
+        if use_e:
+            t = jnp.minimum(t, frac * Eint / (jnp.abs(d_E) + 1.0e-100))
         tmin = jnp.min(t)
         if with_ydot:
             return tmin, (d_omx, d_E)

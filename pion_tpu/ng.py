@@ -218,8 +218,9 @@ class NGHierarchy:
         # normalize to the config dtype (see Simulation.__post_init__:
         # arrays made before the x64 flip would mix dtypes in-graph)
         self.P = [jnp.asarray(s, dtype=self.cfg0.np_dtype) for s in states]
-        if self.cfg0.mesh == "auto" and len(jax.devices()) > 1 \
-                and self.cfg0.halo != "explicit":
+        from .parallel.mesh import mesh_requested
+
+        if mesh_requested(self.cfg0) and self.cfg0.halo != "explicit":
             # every level shares one spatial device mesh (reference:
             # per-level MCMD decomposition over ALL ranks, sim_params.h:189)
             from .parallel.mesh import make_mesh, shard_state
@@ -808,7 +809,8 @@ class NGHierarchy:
                                 states[l], self.cfgs[l], rt=r, sp=sp,
                                 with_ydot=True)
                             r = dict(r)
-                            r["f0"] = f0
+                            if f0 is not None:
+                                r["f0"] = f0
                             rt0_map[l] = r
                             d = jnp.minimum(d, ts)
                         else:

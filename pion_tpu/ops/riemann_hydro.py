@@ -251,11 +251,56 @@ def _sample_exact(Pl, Pr, pstar, vstar, cfg: SimConfig):
     return _stack5(ro, pg, vx, vy, vz, Pl)
 
 
+def _sample_cavitation(Pl, Pr, cfg: SimConfig):
+    """Sampled state at x/t=0 when the data generate a vacuum
+    (reference: riemann.cpp solve_cavitation; Toro §4.6.2): two complete
+    rarefactions separated by a near-vacuum cavity floored at
+    BASEPG * refvec (reference: constants.h:336 BASEPG=1e-5)."""
+    g = cfg.gamma
+    gm1 = g - 1.0
+    gp1 = g + 1.0
+    cl = sound_speed(Pl, cfg)
+    cr = sound_speed(Pr, cfg)
+
+    # left fan state at xi=0: local c = v there
+    v_lf = (2.0 * cl + gm1 * Pl[VX]) / gp1
+    r_lf = Pl[RO] * jnp.maximum(v_lf / cl, _SMALL) ** (2.0 / gm1)
+    p_lf = Pl[PG] * jnp.maximum(r_lf / Pl[RO], _SMALL) ** g
+    v_rf = (-2.0 * cr + gm1 * Pr[VX]) / gp1
+    r_rf = Pr[RO] * jnp.maximum(-v_rf / cr, _SMALL) ** (2.0 / gm1)
+    p_rf = Pr[PG] * jnp.maximum(r_rf / Pr[RO], _SMALL) ** g
+
+    rho_vac = 1.0e-5 * cfg.rho_ref
+    p_vac = 1.0e-5 * cfg.p_ref
+
+    def pick(wl, lf, vac, rf, wr):
+        return jnp.where(
+            Pl[VX] - cl >= 0.0, wl,
+            jnp.where(Pl[VX] + 2.0 * cl / gm1 >= 0.0, lf,
+                      jnp.where(Pr[VX] - 2.0 * cr / gm1 >= 0.0, vac,
+                                jnp.where(Pr[VX] + cr > 0.0, rf, wr))))
+
+    ro = pick(Pl[RO], r_lf, rho_vac, r_rf, Pr[RO])
+    pg = pick(Pl[PG], p_lf, p_vac, p_rf, Pr[PG])
+    vx = pick(Pl[VX], v_lf, 0.0, v_rf, Pr[VX])
+    vy = jnp.where(vx >= 0.0, Pl[VY], Pr[VY])
+    vz = jnp.where(vx >= 0.0, Pl[VZ], Pr[VZ])
+    return _stack5(ro, pg, vx, vy, vz, Pl)
+
+
 def exact(Pl, Pr, cfg: SimConfig):
     """Exact Riemann solver: p* Newton iteration + sampling at x/t=0
-    (reference: riemann.cpp:43-225 'FLUX_RSexact')."""
+    (reference: riemann.cpp:43-225 'FLUX_RSexact'), with the
+    vacuum-generating branch handled in closed form (riemann.cpp
+    solve_cavitation — condition :321: u_R-u_L >= 2(c_L+c_R)/(g-1))."""
     pstar, vstar = exact_pstar(Pl, Pr, cfg)
     P0 = _sample_exact(Pl, Pr, pstar, vstar, cfg)
+    g = cfg.gamma
+    cl = sound_speed(Pl, cfg)
+    cr = sound_speed(Pr, cfg)
+    cav = (Pr[VX] - Pl[VX]) >= 2.0 * (cl + cr) / (g - 1.0)
+    P_cav = _sample_cavitation(Pl, Pr, cfg)
+    P0 = jnp.where(cav, P_cav, P0)
     return flux_from_prim(P0, cfg), P0
 
 
@@ -308,6 +353,74 @@ def hybrid(Pl, Pr, cfg: SimConfig):
 # van Leer 1982)
 # ---------------------------------------------------------------------------
 
+def roe_average_state(Pl, Pr, cfg: SimConfig):
+    """Roe-averaged primitive state (Toro eq. 11.60; reference:
+    Riemann_FVS_hydro.cpp:204-240 Roe_average_state): sqrt(rho)-weighted
+    velocities + enthalpy-mean pressure.  Returns (rho, pg, vx, vy, vz)."""
+    g = cfg.gamma
+    rl = jnp.sqrt(Pl[RO])
+    rr = jnp.sqrt(Pr[RO])
+    den = 1.0 / (rl + rr)
+    rho = rl * rr
+    vx = (rl * Pl[VX] + rr * Pr[VX]) * den
+    vy = (rl * Pl[VY] + rr * Pr[VY]) * den
+    vz = (rl * Pl[VZ] + rr * Pr[VZ]) * den
+
+    def enthalpy(P):
+        v2 = P[VX] ** 2 + P[VY] ** 2 + P[VZ] ** 2
+        return 0.5 * v2 + g * P[PG] / ((g - 1.0) * P[RO])
+
+    H = (rl * enthalpy(Pl) + rr * enthalpy(Pr)) * den
+    a2 = (g - 1.0) * (H - 0.5 * (vx * vx + vy * vy + vz * vz))
+    a2 = jnp.maximum(a2, _SMALL * (Pl[PG] + Pr[PG]) / (Pl[RO] + Pr[RO]))
+    pg = rho * a2 / g
+    return rho, pg, vx, vy, vz
+
+
+def roe_pv(Pl, Pr, cfg: SimConfig):
+    """Roe-mean primitive-variable linear solver (reference:
+    Roe_Hydro_PrimitiveVar_solver.cpp Roe_prim_var_solver): the same
+    two-characteristic linearization as ``linear_pv`` but about the
+    Roe-averaged mean state, with supersonic pass-through on the mean
+    eigenvalues and one-sided rho* from the acoustic jump."""
+    rho_m, _pg_m, vx_m, _vy, _vz = roe_average_state(Pl, Pr, cfg)
+    g = cfg.gamma
+    rl = jnp.sqrt(Pl[RO])
+    rr = jnp.sqrt(Pr[RO])
+    den = 1.0 / (rl + rr)
+
+    def enthalpy(P):
+        v2 = P[VX] ** 2 + P[VY] ** 2 + P[VZ] ** 2
+        return 0.5 * v2 + g * P[PG] / ((g - 1.0) * P[RO])
+
+    H = (rl * enthalpy(Pl) + rr * enthalpy(Pr)) * den
+    v2_m = vx_m * vx_m + _vy * _vy + _vz * _vz
+    a = jnp.sqrt(jnp.maximum((g - 1.0) * (H - 0.5 * v2_m),
+                             _SMALL * (Pl[PG] + Pr[PG])
+                             / (Pl[RO] + Pr[RO])))
+    pstar = 0.5 * (Pl[PG] + Pr[PG] - rho_m * a * (Pr[VX] - Pl[VX]))
+    pstar = jnp.maximum(pstar, _SMALL * (Pl[PG] + Pr[PG]))
+    vstar = 0.5 * (Pl[VX] + Pr[VX] - (Pr[PG] - Pl[PG]) / (rho_m * a))
+    left = vstar > 0.0
+    rho_star = jnp.where(
+        left, Pl[RO] + rho_m * (Pl[VX] - vstar) / a,
+        Pr[RO] + rho_m * (vstar - Pr[VX]) / a)
+    rho_star = jnp.maximum(rho_star, _SMALL * rho_m)
+    sup_l = vx_m - a >= 0.0
+    sup_r = vx_m + a <= 0.0
+    ro = jnp.where(sup_l, Pl[RO], jnp.where(sup_r, Pr[RO], rho_star))
+    pg = jnp.where(sup_l, Pl[PG], jnp.where(sup_r, Pr[PG], pstar))
+    vx = jnp.where(sup_l, Pl[VX], jnp.where(sup_r, Pr[VX], vstar))
+    vy = jnp.where(sup_l, Pl[VY],
+                   jnp.where(sup_r, Pr[VY],
+                             jnp.where(left, Pl[VY], Pr[VY])))
+    vz = jnp.where(sup_l, Pl[VZ],
+                   jnp.where(sup_r, Pr[VZ],
+                             jnp.where(left, Pl[VZ], Pr[VZ])))
+    P0 = _stack5(ro, pg, vx, vy, vz, Pl)
+    return flux_from_prim(P0, cfg), P0
+
+
 def fvs(Pl, Pr, cfg: SimConfig):
     g = cfg.gamma
 
@@ -336,5 +449,9 @@ def fvs(Pl, Pr, cfg: SimConfig):
     fl = split(Pl, +1.0)
     fr = split(Pr, -1.0)
     f = _stack5(*[a + b for a, b in zip(fl, fr)], Pl)
-    pstar = 0.5 * (Pl + Pr)  # Roe-average placeholder interface state
+    # interface state = Roe average (reference: Riemann_FVS_hydro.cpp:177
+    # hands Roe_average_state to the viscosity), hydro channels only
+    ro, pg, vx, vy, vz = roe_average_state(Pl, Pr, cfg)
+    pstar = 0.5 * (Pl + Pr)
+    pstar = _stack5(ro, pg, vx, vy, vz, pstar)
     return f, pstar

@@ -118,7 +118,12 @@ def _riemann(Pl_r, Pr_r, cfg: SimConfig, dx_over_dt, hc_eta,
             return rh.hll(Pl_r, Pr_r, cfg)
         if s is Solver.RCV:
             return rh.roe_cv(Pl_r, Pr_r, cfg, hc_eta)
-        if s in (Solver.RPV, Solver.LINEAR):
+        if s is Solver.RPV:
+            # distinct Roe-mean PV solver (reference:
+            # Roe_Hydro_PrimitiveVar_solver.cpp), not the arithmetic-mean
+            # linear solver
+            return rh.roe_pv(Pl_r, Pr_r, cfg)
+        if s is Solver.LINEAR:
             return rh.linear_pv(Pl_r, Pr_r, cfg)
         if s is Solver.EXACT:
             return rh.exact(Pl_r, Pr_r, cfg)

@@ -117,6 +117,17 @@ def shard_state(Pstate, mesh: Mesh, cfg: SimConfig):
     return jax.device_put(Pstate, state_sharding(mesh, cfg))
 
 
+def mesh_requested(cfg) -> bool:
+    """Shard-on-construction gate for cfg.mesh (see SimConfig.mesh)."""
+    n = len(jax.devices())
+    if n <= 1:
+        return False
+    if cfg.mesh == "on":
+        return True
+    return cfg.mesh == "auto" and jax.default_backend() in (
+        "tpu", "axon", "gpu", "cuda", "rocm")
+
+
 def maybe_distributed_init() -> bool:
     """Multi-host bootstrap (the COMM->init equivalent of the reference
     binaries, main_NG_MPI.cpp:40-60): call ``jax.distributed.initialize``

@@ -29,7 +29,13 @@ class Physics:
     mp: object = None                 # microphysics module (MPv3/7/8/...)
     sources: List[Source] = dataclasses.field(default_factory=list)
     raytracer: Optional[Raytracer] = None
-    dt_limit: bool = True             # apply the chemistry timestep limit
+    # EP.MP_timestep_limit mode (reference: sim_params.h:56-63): 0 = off
+    # (dynamical dt only), 1 = cooling, 2 = cooling+recomb, 3 = +ionisation,
+    # 4 = recomb only.  MPv3-family timescales serve every nonzero mode
+    # (the reference ignores the per-process flags there, MPv3.cpp:1237);
+    # cooling-only modules return no limit for mode 4 (mp_only_cooling.cpp
+    # :333-341 tc flag).  Booleans coerce: True -> 1, False -> 0.
+    dt_limit: int = 2
     wind_sources: List = dataclasses.field(default_factory=list)
     winds: List = dataclasses.field(default_factory=list)
 
@@ -268,11 +274,29 @@ class Physics:
 
     def timescale(self, P, cfg: SimConfig, tau_in=None, rt=None, sp=None,
                   with_ydot=False):
+        mode = int(self.dt_limit)
+        procs = getattr(self.mp, "dt_limit_processes",
+                        ("cooling", "recomb", "ion"))
+        mode_procs = {1: ("cooling",), 2: ("cooling", "recomb"),
+                      3: ("cooling", "recomb", "ion"), 4: ("recomb",)}
+        if mode != 0 and not set(mode_procs.get(mode, ())) & set(procs):
+            # e.g. mode 4 (recomb only) with a cooling-only module:
+            # no applicable process -> no chemistry limit
+            big = jnp.asarray(1.0e99, dtype=P.dtype)
+            if with_ydot:
+                # no usable ydot to seed the update with (trace-time None)
+                return big, None
+            return big
         if rt is None:
-            rt = self.raytrace(P, tau_in, sp=sp) if self.sources else None
-        if rt is None:
-            rt = self.mp.default_rt(P)
-        return self.mp._timescales_impl(P, cfg, rt, with_ydot=with_ydot)
+            rt = (self.raytrace(P, tau_in, sp=sp) if self.sources
+                  else self.mp.default_rt(P))
+        import inspect
+
+        if "with_ydot" in inspect.signature(
+                self.mp._timescales_impl).parameters:
+            return self.mp._timescales_impl(P, cfg, rt, with_ydot=with_ydot)
+        ts = self.mp._timescales_impl(P, cfg, rt)
+        return (ts, None) if with_ydot else ts
 
     def wind_exclude_mask(self):
         """Union of the (static) wind-region masks — cells the CFL dt

@@ -76,9 +76,9 @@ class Simulation:
             # multi-device GSPMD: shard the state over all visible devices;
             # the jitted step follows the input sharding (the MPI-binary
             # parallel entry point equivalent, main_NG_MPI.cpp:40-60)
-            import jax
+            from .parallel.mesh import mesh_requested
 
-            if self.cfg.mesh == "auto" and len(jax.devices()) > 1:
+            if mesh_requested(self.cfg):
                 from .parallel.mesh import make_mesh, shard_state
 
                 self.mesh = make_mesh(self.cfg)

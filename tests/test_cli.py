@@ -369,7 +369,7 @@ def test_run_mesh_auto_matches_single_device(tmp_path):
     pf = _write_params(tmp_path)
     sim1 = run_main([pf, "max_steps=5", "mesh=off"])
     assert len(sim1.P.sharding.device_set) == 1
-    sim8 = run_main([pf, "max_steps=5", "mesh=auto"])
+    sim8 = run_main([pf, "max_steps=5", "mesh=on"])
     assert len(sim8.P.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(sim8.P), np.asarray(sim1.P),
                                rtol=1e-12, atol=1e-13)
@@ -383,7 +383,7 @@ def test_run_mesh_auto_ng(tmp_path):
     txt = open(pf).read().replace("ics BlastWave", "ics BlastWave\ngrid_nlevels 2")
     open(pf, "w").write(txt)
     sim1 = run_main([pf, "max_steps=2", "mesh=off"])
-    sim8 = run_main([pf, "max_steps=2", "mesh=auto"])
+    sim8 = run_main([pf, "max_steps=2", "mesh=on"])
     assert len(sim8.P[0].sharding.device_set) == 8
     for l in range(2):
         np.testing.assert_allclose(np.asarray(sim8.P[l]),

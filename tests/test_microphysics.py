@@ -214,3 +214,51 @@ def test_ki02_equilibrium_two_phase():
         return Ts[i]
 
     assert teq(100.0) < teq(1.0) < teq(0.01)
+
+
+def test_mp_timestep_limit_modes_and_tiers():
+    """EP.MP_timestep_limit mode menu (reference: sim_params.h:56-63,
+    calc_timestep.cpp:444-458) + MPV3_DTLIMIT tiers (MPv3.cpp:185-228):
+    mode/tier selection must change the chemistry dt as upstream does."""
+    import jax.numpy as jnp
+
+    from pion_tpu import SimConfig
+    from pion_tpu.constants import PG, RO
+    from pion_tpu.microphysics import MPv3, MPv3Config
+    from pion_tpu.microphysics.cooling import CoolingConfig, MPOnlyCooling
+    from pion_tpu.physics import Physics
+
+    cfg = SimConfig(ndim=1, eqn="euler", solver="hll", ntracer=1,
+                    shape=(16,), xmin=(0.0,), xmax=(1.0e18,),
+                    bcs=(("outflow", "outflow"),), dtype="float64")
+    P = np.zeros((cfg.nvar, 16))
+    P[RO] = 2.0e-22
+    P[PG] = 2.0e-10          # hot enough that cooling is active
+    P[cfg.eqn.nbase] = 0.5
+    P = jnp.asarray(P)
+
+    # MPv3: every nonzero mode applies its timescale (flags ignored
+    # upstream, MPv3.cpp:1237-1252); tiers change DTFRAC
+    t2 = MPv3(MPv3Config(tracer_slot=cfg.eqn.nbase, dtlimit_tier=2))
+    t3 = MPv3(MPv3Config(tracer_slot=cfg.eqn.nbase, dtlimit_tier=3))
+    dt2 = float(t2.timescales(P, cfg))
+    dt3 = float(t3.timescales(P, cfg))
+    assert dt3 == pytest.approx(0.5 * dt2, rel=1e-10)
+    # tier 6 adds the energy-change limit -> never larger than tier 2
+    t6 = MPv3(MPv3Config(tracer_slot=cfg.eqn.nbase, dtlimit_tier=6))
+    assert float(t6.timescales(P, cfg)) <= dt2 * (1 + 1e-12)
+
+    # cooling-only module: modes 1-3 limit by the cooling time, mode 4
+    # (recomb only) has no applicable process -> no limit
+    # (reference: mp_only_cooling.cpp:333-341 'if (!tc) return 1.0e99')
+    mp = MPOnlyCooling(CoolingConfig(curve="WSS09_CIE_ONLY_COOLING"))
+    for mode, limited in ((1, True), (2, True), (3, True), (4, False),
+                          (0, False)):
+        phys = Physics(mp=mp, dt_limit=mode)
+        if mode == 0:
+            continue  # mode 0 short-circuits before timescale()
+        ts = float(phys.timescale(P, cfg))
+        if limited:
+            assert ts < 1.0e90
+        else:
+            assert ts > 1.0e90

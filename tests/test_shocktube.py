@@ -249,3 +249,82 @@ def test_snapshot_shape_validation(tmp_path):
         save_snapshot(str(tmp_path / "x"), bad, cfg, 0.0)
     with pytest.raises(ValueError, match="state shape"):
         Simulation(cfg, jnp.asarray(bad))
+
+
+def test_exact_solver_cavitation_branch():
+    """Vacuum-generating data through the EXACT solver (reference:
+    riemann.cpp solve_cavitation; the upstream binary aborts on Toro2 with
+    the exact solver — handling it is strictly beyond reference parity).
+    Strong double rarefaction: u_R - u_L >= 2(c_L+c_R)/(g-1)."""
+    cfg = sod_cfg()
+    # Toro2-like but strong enough to cavitate: c = sqrt(1.4*0.4/1) ~ 0.75
+    # -> threshold du = 2*(0.75+0.75)/0.4 = 7.48
+    Pl = jnp.asarray(np.array([1.0, 0.4, -4.0, 0.0, 0.0])[:, None])
+    Pr = jnp.asarray(np.array([1.0, 0.4, +4.0, 0.0, 0.0])[:, None])
+    F, P0 = rh.exact(Pl, Pr, cfg)
+    assert np.all(np.isfinite(np.asarray(F)))
+    assert np.all(np.isfinite(np.asarray(P0)))
+    # at x/t=0 the cavity sits over the interface: near-vacuum state
+    assert float(P0[RO, 0]) < 1.0e-4
+    assert float(P0[PG, 0]) < 1.0e-4
+    # one-sided sweep: everything moving right -> left input state
+    Pl2 = jnp.asarray(np.array([1.0, 0.4, 5.0, 0.0, 0.0])[:, None])
+    Pr2 = jnp.asarray(np.array([1.0, 0.4, 20.0, 0.0, 0.0])[:, None])
+    _, P02 = rh.exact(Pl2, Pr2, cfg)
+    np.testing.assert_allclose(np.asarray(P02[:, 0]),
+                               np.asarray(Pl2[:, 0]), rtol=1e-12)
+
+
+def test_toro2_exact_solver_end_to_end():
+    """Full Toro2 run with the exact solver (the configuration the
+    reference binary crashes on): finite, positive, symmetric."""
+    cfg = sod_cfg(n=200, solver=Solver.EXACT, tmax=0.15)
+    P0 = toro_tests(cfg, 2)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    P = np.asarray(sim.P)
+    assert np.all(np.isfinite(P))
+    assert np.all(P[RO] > 0)
+    # central rarefaction trough
+    assert P[RO][cfg.shape[0] // 2] < 0.2 * P[RO][0]
+
+
+def test_roe_pv_distinct_and_accurate():
+    """The Roe-mean PV solver (reference:
+    Roe_Hydro_PrimitiveVar_solver.cpp) must differ from the
+    arithmetic-mean linear solver on asymmetric states and be at least as
+    close to the exact p* there."""
+    cfg = sod_cfg()
+    Pl = jnp.asarray(np.array([1.0, 1.0, 0.75, 0.0, 0.0])[:, None])
+    Pr = jnp.asarray(np.array([0.125, 0.1, 0.0, 0.0, 0.0])[:, None])
+    _, p_roe = rh.roe_pv(Pl, Pr, cfg)
+    _, p_lin = rh.linear_pv(Pl, Pr, cfg)
+    p_ex, _ = rh.exact_pstar(Pl, Pr, cfg)
+    assert float(p_roe[PG, 0]) != float(p_lin[PG, 0])
+    err_roe = abs(float(p_roe[PG, 0]) - float(p_ex[0]))
+    err_lin = abs(float(p_lin[PG, 0]) - float(p_ex[0]))
+    assert err_roe < 1.5 * err_lin  # not wildly worse; usually better
+
+
+def test_fvs_interface_state_roe_average():
+    """FVS pstar is the Roe average (reference: Riemann_FVS_hydro.cpp:177)
+    rather than the arithmetic mean."""
+    cfg = sod_cfg()
+    Pl = jnp.asarray(np.array([4.0, 2.0, 1.0, 0.0, 0.0])[:, None])
+    Pr = jnp.asarray(np.array([1.0, 0.5, -1.0, 0.0, 0.0])[:, None])
+    _, pstar = rh.fvs(Pl, Pr, cfg)
+    # Roe density = sqrt(rho_l*rho_r) = 2; velocity sqrt-weighted
+    assert float(pstar[RO, 0]) == pytest.approx(2.0, rel=1e-12)
+    wl, wr = 2.0 / 3.0, 1.0 / 3.0
+    assert float(pstar[rh.VX, 0]) == pytest.approx(wl * 1.0 + wr * (-1.0),
+                                                   rel=1e-12)
+
+
+def test_sod_rpv_end_to_end():
+    """Shocktube through the distinct RPV solver stays accurate."""
+    cfg = sod_cfg(n=200, solver=Solver.RPV, tmax=0.2)
+    P0 = toro_tests(cfg, 1)
+    sim = Simulation(cfg, jnp.asarray(P0))
+    sim.run()
+    P = np.asarray(sim.P)
+    assert np.all(np.isfinite(P)) and np.all(P[RO] > 0)
