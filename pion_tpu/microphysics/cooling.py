@@ -229,12 +229,19 @@ class MPOnlyCooling(JitCachedMP):
     dt_limit_processes = ("cooling",)  # reference: mp_only_cooling.cpp:333
 
     def _timescales_impl(self, P, cfg: SimConfig, rt: Dict):
+        """Cooling time = Eint / max(|Edot(T)|, |Edot(max(Tmin, T/2))|),
+        skipped near the temperature floor (reference:
+        mp_only_cooling.cpp:333-368 — no extra safety factor)."""
         mpc = self.mpc
         n, T = self._nT(P)
         E = P[PG] / (mpc.gamma - 1.0)
-        ed = jnp.abs(self.edot(P[RO], T))
+        ed = jnp.maximum(
+            jnp.abs(self.edot(P[RO], T)),
+            jnp.abs(self.edot(P[RO],
+                              jnp.maximum(mpc.min_temperature, 0.5 * T))))
         t_cool = E / (ed + 1e-100)
-        return 0.3 * jnp.min(t_cool)
+        t_cool = jnp.where(T >= 1.1 * mpc.min_temperature, t_cool, 1.0e99)
+        return jnp.min(t_cool)
 
 
 @dataclasses.dataclass(frozen=True)

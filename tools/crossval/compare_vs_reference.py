@@ -97,3 +97,53 @@ w.append(run_case_2d("Toro1 2D oblique 40deg (hybrid)",
 print(f"worst-case rel L1 across cases: {max(w):.3e}")
 assert max(w) < 2e-2, "cross-validation L1 above gate"
 print("CROSSVAL OK")
+
+
+def run_case_cooling(name, ref_file, tmax, nsteps_ref):
+    """Cooling-coupled crossval (reference: mp_only_cooling — adaptive
+    RK/Euler, NO CVODE, so the stub build integrates it numerically):
+    cgs colliding-flow radiative shock, build-local RIEMANN case 99
+    (see setup_refbuild.sh), SD93-CIE curve, EP_MP_timestep_limit=1."""
+    from pion_tpu.microphysics.cooling import CoolingConfig, MPOnlyCooling
+    from pion_tpu.physics import Physics
+
+    ref = np.loadtxt(ref_file)
+    n = 200
+    cfg = SimConfig(ndim=1, eqn=Eqn.EULER, solver="hybrid",
+                    gamma=5.0 / 3.0, shape=(n,), xmin=(-1.0e17,),
+                    xmax=(1.0e17,), bcs=(("outflow", "outflow"),),
+                    cfl=0.7, ooa=2, av="falle", etav=0.3, tmax=tmax,
+                    min_temperature=10.0, dtype="float64")
+    phys = Physics(mp=MPOnlyCooling(CoolingConfig(
+        gamma=cfg.gamma, min_temperature=10.0, max_temperature=1.0e9,
+        curve="SD93_CIE")), dt_limit=1)
+    x = cfg.cell_centers(0)
+    P0 = np.zeros((cfg.nvar, n))
+    m = x <= 0.0
+    P0[RO] = 2.34e-22
+    P0[PG] = 3.10e-12
+    P0[VX] = np.where(m, 7.0e6, -7.0e6)
+    sim = Simulation(cfg, jnp.asarray(P0), physics=phys)
+    sim.run()
+    out = np.asarray(sim.P)
+    print(f"== {name}: t={sim.t:.4e} steps={sim.step_count} "
+          f"(ref {nsteps_ref})")
+    worst = 0.0
+    for nm, (slot, col) in {"rho": (RO, 1), "pg": (PG, 2),
+                            "vx": (VX, 3)}.items():
+        a, b = out[slot], ref[:, col]
+        scale = max(np.abs(b).max(), 1e-300)
+        l1 = np.abs(a - b).mean() / scale
+        mx = np.abs(a - b).max() / scale
+        worst = max(worst, l1)
+        print(f"  {nm}: rel L1={l1:.3e}  max={mx:.3e}")
+    return worst
+
+
+if "--cooling" in sys.argv:
+    wc = run_case_cooling("RadShock SD93-CIE (mp_only_cooling)",
+                          "/tmp/radshock/radshockref.00000073.txt",
+                          5.0e9, 73)
+    print(f"cooling-case rel L1: {wc:.3e}")
+    assert wc < 2e-2, "cooling cross-validation L1 above gate"
+    print("COOLING CROSSVAL OK")
