@@ -41,12 +41,31 @@ NSEG = 16  # sweep-axis segment length inside chunked kernels (VMEM knob;
 def supports(cfg: SimConfig) -> bool:
     """Pallas fast-path eligibility (everything else -> XLA sweep)."""
     return (
-        cfg.coords is Coord.CARTESIAN
+        (cfg.coords is Coord.CARTESIAN
+         or (cfg.coords is Coord.CYLINDRICAL and cfg.ndim == 2))
         and cfg.ndim >= 2
         and cfg.av in (AV.NONE, AV.FALLE)
         and cfg.solver in (Solver.HLL, Solver.HLLD, Solver.LINEAR,
                            Solver.RCV, Solver.RPV)
     )
+
+
+def _radial_geo(cfg: SimConfig, geom: Geometry):
+    """(6, npad) radial-axis geometry pack for the cylindrical kernel:
+    rows = com, del_n, del_p, pos (padded) and div_cn, div_cp (interior,
+    rows padded with 1/dx).  Passed as a kernel input (Pallas forbids
+    captured constants)."""
+    g = geom.axes[0]
+    n = cfg.shape[0]
+    npad = n + 2 * NG
+    out = np.full((6, npad), 1.0 / geom.dx, dtype=cfg.np_dtype)
+    out[0] = g.com
+    out[1] = g.del_n
+    out[2] = g.del_p
+    out[3] = g.pos
+    out[4, :n] = g.div_cn
+    out[5, :n] = g.div_cp
+    return jnp.asarray(out)
 
 
 def _upd(A, updates):
@@ -92,7 +111,7 @@ def _av_falle_tile(flux, Pl, Pr, pstar, cfg: SimConfig):
 
 def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
                     dx: float, cell_mask=None, spos: int = -2,
-                    scma: bool = False):
+                    scma: bool = False, geo=None):
     """Per-tile sweep math with the sweep axis at position ``spos``.
 
     ``spos=-2``: ``Pt`` is (nvar, N+2*NG, L) — sweep axis in sublanes, a
@@ -107,7 +126,11 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
 
     Returns the dU contribution (nvar, N, ...) = dt * (-dF/dx +
     Powell/GLM sources).  Identical formulas to ops/sweep.py's per-axis
-    body, Cartesian metric.
+    body.  ``geo`` (cylindrical radial sweep only, spos=-2): the
+    (6, npad) geometry pack from ``_radial_geo`` — com-spaced slopes,
+    metric divergence coefficients and the radial geometric sources
+    (reference: cyl_FV_solver_*::geometric_source,
+    solver_eqn_mhd_adi.cpp:1001-1215).
     """
     from .sweep import _riemann
 
@@ -131,9 +154,32 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         mr = _s2(cell_mask, NG, NG + n + 1)
         hll_mask = jnp.maximum(ml, mr) > 0.5
 
+    slope_c = None
+    if geo is not None:
+        com = geo[0][:, None]
+        deln = geo[1][:, None]
+        delp = geo[2][:, None]
+        pos = geo[3][:, None]
+        cn = geo[4][:n][:, None]
+        cp = geo[5][:n][:, None]
     if order == 1:
         Pl = _s2(Pt, NG - 1, NG + n)
         Pr = _s2(Pt, NG, NG + n + 1)
+        if geo is not None:
+            slope_c = jnp.zeros_like(_s2(Pt, NG, NG + n))
+    elif geo is not None:
+        # slopes on centre-of-volume spacing, edge states at face-offsets
+        # from the com (reference: VectorOps.h:414-419; sweep._reconstruct)
+        d = _s2(Pt, 1, None) - _s2(Pt, 0, -1)
+        h = com[1:] - com[:-1]
+        one_sided = d / h
+        slopes = van_albada(_s2(one_sided, 0, -1), _s2(one_sided, 1, None))
+        cells = _s2(Pt, 1, -1)
+        lo = cells + slopes * deln[1:-1]
+        hi = cells + slopes * delp[1:-1]
+        Pl = _s2(hi, NG - 2, NG + n - 1)
+        Pr = _s2(lo, NG - 1, NG + n)
+        slope_c = _s2(slopes, NG - 1, NG + n - 1)
     else:
         d = (_s2(Pt, 1, None) - _s2(Pt, 0, -1)) / dx
         slopes = van_albada(_s2(d, 0, -1), _s2(d, 1, None))
@@ -216,16 +262,55 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
         flux_r = _upd(flux_r, upd)
 
     flux = _permute(flux_r, inv)
-    dudt = (_s2(flux, 0, -1) - _s2(flux, 1, None)) / dx
+    if geo is not None:
+        dudt = cn * _s2(flux, 0, -1) - cp * _s2(flux, 1, None)
+    else:
+        dudt = (_s2(flux, 0, -1) - _s2(flux, 1, None)) / dx
 
     Pc = _s2(Pt, NG, NG + n)
+    if geo is not None:
+        # radial geometric sources (2D cylindrical, axis 0 -> normal
+        # velocity/B indices VY/BY; reference:
+        # solver_eqn_hydro_adi.cpp:560-707, solver_eqn_mhd_adi.cpp:
+        # 1001-1030,1180-1215)
+        from ..constants import BY, BZ, VY, VZ
+
+        pos_c = pos[NG:NG + n]
+        com_c = com[NG:NG + n]
+        k_norm = VX + (nd - 1 - axis)
+        if cfg.eqn.is_mhd:
+            pm = 0.5 * (Pc[BX] ** 2 + Pc[BY] ** 2 + Pc[BZ] ** 2)
+            if order == 1:
+                src = (Pc[PG] + pm) / pos_c
+            else:
+                corr = (slope_c[PG] + Pc[BX] * slope_c[BX]
+                        + Pc[BY] * slope_c[BY] + Pc[BZ] * slope_c[BZ])
+                src = (Pc[PG] + pm + (pos_c - com_c) * corr) / pos_c
+        elif order == 1:
+            src = Pc[PG] / pos_c
+        else:
+            src = (Pc[PG] + (pos_c - com_c) * slope_c[PG]) / pos_c
+        dudt = _upd(dudt, {k_norm: dudt[k_norm] + src})
+        if glm:
+            kb = BX + (nd - 1 - axis)
+            if order == 1:
+                sb = ch * Pc[SI] / pos_c
+            else:
+                sb = ch * (Pc[SI] + (pos_c - com_c) * slope_c[SI]) / pos_c
+            dudt = _upd(dudt, {kb: dudt[kb] + sb})
     if cfg.eqn.is_mhd:
         from ..constants import BY, BZ, VY, VZ
 
         k = nd - 1 - axis
         bn = Pt[BX + k]
         bm = 0.5 * (_s2(bn, NG - 1, NG + n) + _s2(bn, NG, NG + n + 1))
-        dbm = (_s2(bm, 0, -1) - _s2(bm, 1, None)) / dx
+        if geo is not None:
+            # cylindrical radial divergence factors (reference:
+            # cyl_FV_solver_mhd_ideal_adi::MHDsource Rcyl branch,
+            # solver_eqn_mhd_adi.cpp:1092-1103)
+            dbm = cn * _s2(bm, 0, -1) - cp * _s2(bm, 1, None)
+        else:
+            dbm = (_s2(bm, 0, -1) - _s2(bm, 1, None)) / dx
         udotb = Pc[VX] * Pc[BX] + Pc[VY] * Pc[BY] + Pc[VZ] * Pc[BZ]
         upd = {
             VX: dudt[VX] + dbm * Pc[BX],
@@ -265,7 +350,7 @@ def _pick_lanes(n: int) -> int:
 
 def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
                        dx: float, interpret: bool, mask=None,
-                       scma: bool = False):
+                       scma: bool = False, geo_arr=None):
     """Launch the fused kernel for one axis.  ``Pt`` is padded along the
     sweep axis only (interior on transverse axes).  ``mask`` (optional,
     HLLD->HLL fallback) is the per-CELL strong-compression flag as float,
@@ -285,12 +370,17 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
     ch_v = jnp.asarray(0.0 if ch is None else ch, Pt.dtype)
     has_mask = mask is not None
 
+    has_geo = geo_arr is not None
+
     def kernel(*refs, transpose: bool, chunked: bool = False):
-        if has_mask:
-            dt_ref, ch_ref, p_ref, m_ref, o_ref = refs
-        else:
-            dt_ref, ch_ref, p_ref, o_ref = refs
-            m_ref = None
+        refs = list(refs)
+        dt_ref = refs.pop(0)
+        ch_ref = refs.pop(0)
+        p_ref = refs.pop(0)
+        m_ref = refs.pop(0) if has_mask else None
+        g_ref = refs.pop(0) if has_geo else None
+        o_ref = refs.pop(0)
+        geo_k = g_ref[...] if g_ref is not None else None
         dt_k = dt_ref[0]
         ch_k = ch_ref[0]
         if chunked:
@@ -324,7 +414,7 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             if m is not None:
                 m = jnp.swapaxes(m, -1, -2)
         out = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k, dx,
-                              cell_mask=m, scma=scma)
+                              cell_mask=m, scma=scma, geo=geo_k)
         if transpose:
             out = jnp.swapaxes(out, -1, -2)            # (nvar, bl, n)
         o_ref[...] = out.reshape(o_ref.shape)
@@ -393,6 +483,12 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
             vmem_limit_bytes=100 * 1024 * 1024)
     specs = [smem, smem, in_spec] + ([m_spec] if has_mask else [])
     args = [dt_a, ch_a, Pt] + ([mask] if has_mask else [])
+    if geo_arr is not None:
+        ngr = len(grid)
+        specs.append(pl.BlockSpec(geo_arr.shape,
+                                  (lambda i: (0, 0)) if ngr == 1
+                                  else (lambda i, j: (0, 0))))
+        args.append(geo_arr)
     return pl.pallas_call(
         kfn,
         grid=grid,
@@ -405,7 +501,8 @@ def _sweep_axis_pallas(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
 
 
 def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
-                       interpret: bool, P_int, contribs, mask=None):
+                       interpret: bool, P_int, contribs, mask=None,
+                       geo_arr=None):
     """Fused final sweep for axis 0: computes this axis's dU per segment,
     adds the other axes' contributions and the base state's conserved
     vector, applies the floors of ``cons_to_prim`` and the GLM parabolic
@@ -431,6 +528,8 @@ def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
     cr = cfg.glm_cr_factor / dx
     nc = len(contribs)
 
+    has_geo = geo_arr is not None
+
     def kernel(*refs, chunked: bool):
         dt_ref, ch_ref = refs[0], refs[1]
         p_ref = refs[2]
@@ -439,6 +538,11 @@ def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
         if has_mask:
             m_ref = refs[k]
             k += 1
+        g_ref = None
+        if has_geo:
+            g_ref = refs[k]
+            k += 1
+        geo_k = g_ref[...] if g_ref is not None else None
         pint_ref = refs[k]
         c_refs = refs[k + 1 : k + 1 + nc]
         o_ref = refs[-1]
@@ -474,7 +578,7 @@ def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
                 m = m_ref[...].reshape(tuple(
                     s for s in m_ref.shape[1:] if s != 1))
             dU = _axis_tile_math(sub, cfg, axis, order, dt_k, ch_k, dx,
-                                 cell_mask=m)
+                                 cell_mask=m, geo=geo_k)
             finish(0, n, dU, (slice(None), slice(None)))
 
     if nd == 2:
@@ -502,10 +606,18 @@ def _final_axis_pallas(Pt, cfg: SimConfig, order: int, dt, ch, dx: float,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
+    geo_specs = []
+    geo_args = []
+    if geo_arr is not None:
+        ngr = len(grid)
+        geo_specs = [pl.BlockSpec(geo_arr.shape,
+                                  (lambda i: (0, 0)) if ngr == 1
+                                  else (lambda i, j: (0, 0)))]
+        geo_args = [geo_arr]
     specs = [smem, smem, in_spec] + ([m_spec] if has_mask else []) \
-        + [int_spec] * (1 + nc)
+        + geo_specs + [int_spec] * (1 + nc)
     args = [dt.reshape(1), ch_v.reshape(1), Pt] \
-        + ([mask] if has_mask else []) + [P_int] + list(contribs)
+        + ([mask] if has_mask else []) + geo_args + [P_int] + list(contribs)
     return pl.pallas_call(
         kfn,
         grid=grid,
@@ -555,6 +667,8 @@ def advance_dynamics_pallas(
             return None
         return _interior(strong[None], cfg, skip_axis=axis)
 
+    geo0 = (_radial_geo(cfg, geom)
+            if cfg.coords is Coord.CYLINDRICAL else None)
     contribs = []
     for axis in range(1, nd):
         Pt = _interior(Ph_pad, cfg, skip_axis=axis)
@@ -563,7 +677,7 @@ def advance_dynamics_pallas(
             mask=axis_mask(axis)))
     Pt0 = _interior(Ph_pad, cfg, skip_axis=0)
     return _final_axis_pallas(Pt0, cfg, order, dt, ch, dx, interpret,
-                              P, contribs, mask=axis_mask(0))
+                              P, contribs, mask=axis_mask(0), geo_arr=geo0)
 
 
 def dynamics_dU_pallas(
@@ -597,7 +711,10 @@ def dynamics_dU_pallas(
         mask = None
         if strong is not None:
             mask = _interior(strong[None], cfg, skip_axis=axis)
+        geo_a = (_radial_geo(cfg, geom)
+                 if cfg.coords is Coord.CYLINDRICAL and axis == 0 else None)
         contrib = _sweep_axis_pallas(Pt, cfg, axis, order, dt, ch, dx,
-                                     interpret, mask=mask, scma=scma)
+                                     interpret, mask=mask, scma=scma,
+                                     geo_arr=geo_a)
         dU = contrib if dU is None else dU + contrib
     return dU

@@ -87,4 +87,56 @@ def test_unsupported_configs_fall_back():
     cfg2 = SimConfig(ndim=2, eqn=Eqn.EULER, coords="cylindrical",
                      shape=(16, 16), xmin=(0.0, 0.0), xmax=(1.0, 1.0),
                      bcs=(("outflow", "outflow"),) * 2)
-    assert not supports(cfg2)  # curvilinear
+    assert supports(cfg2)  # 2D cylindrical: supported since round 5
+    cfg3 = SimConfig(ndim=1, eqn=Eqn.EULER, coords="spherical",
+                     shape=(32,), xmin=(0.0,), xmax=(1.0,),
+                     bcs=(("reflecting", "outflow"),))
+    assert not supports(cfg3)  # 1D spherical stays on the XLA sweep
+
+
+def test_cylindrical_pallas_matches_xla():
+    """2D cylindrical (axisymmetric) fused sweep vs the XLA sweep:
+    com-spaced slopes, metric divergence and the radial geometric
+    sources must agree to rounding (reference:
+    cyl_FV_solver_*::geometric_source, solver_eqn_mhd_adi.cpp:1001-1215)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pion_tpu import Coord, SimConfig
+    from pion_tpu.boundaries import BoundaryData, apply_bcs
+    from pion_tpu.grid import make_geometry
+    from pion_tpu.ops import pallas_sweep
+    from pion_tpu.ops.sweep import dynamics_dU
+
+    rng = np.random.default_rng(5)
+    for eqn, solver in (("euler", "hll"), ("glm", "hlld")):
+        cfg = SimConfig(ndim=2, eqn=eqn, solver=solver,
+                        coords=Coord.CYLINDRICAL, ntracer=1,
+                        shape=(32, 64), xmin=(0.0, 0.0), xmax=(0.5, 1.0),
+                        bcs=(("axisymmetric", "outflow"),
+                             ("outflow", "outflow")),
+                        cfl=0.3, ooa=2, av="falle", etav=0.1,
+                        dtype="float64")
+        geom = make_geometry(cfg)
+        P = np.ones((cfg.nvar,) + cfg.shape)
+        P[0] = 1.0 + 0.3 * rng.random(cfg.shape)
+        P[1] = 1.0 + 0.3 * rng.random(cfg.shape)
+        P[2:5] = 0.2 * rng.standard_normal((3,) + cfg.shape)
+        if cfg.eqn.is_mhd:
+            P[5:8] = 0.1 * rng.standard_normal((3,) + cfg.shape)
+            if eqn == "glm":
+                P[8] = 0.01 * rng.standard_normal(cfg.shape)
+        P[cfg.eqn.nbase] = rng.random(cfg.shape)
+        Pj = jnp.asarray(P)
+        Ppad = apply_bcs(Pj, cfg, BoundaryData())
+        dt = jnp.float64(1e-3)
+        ch = jnp.float64(100.0)
+        dU_x, _ = dynamics_dU(Ppad, cfg, geom, dt, 2, ch=ch)
+        dU_p = pallas_sweep.dynamics_dU_pallas(Ppad, cfg, geom, dt, 2,
+                                               ch=ch, interpret=True)
+        scale = float(jnp.max(jnp.abs(dU_x)))
+        assert float(jnp.max(jnp.abs(dU_p - dU_x))) < 1e-12 * scale
+        # the fused advance path (final kernel with the geometry pack)
+        Pn = pallas_sweep.advance_dynamics_pallas(Pj, Ppad, cfg, geom, dt,
+                                                  2, ch=ch, interpret=True)
+        assert bool(jnp.all(jnp.isfinite(Pn)))
