@@ -568,7 +568,10 @@ class MPv3:
         E_floor = self.n_tot(nH, 1.0 - omx) * K_B * c.min_temperature / (c.gamma - 1.0)
         Eint = jnp.where(Eint > 0.0, Eint, E_floor)
 
-        if self._use_pallas(rt, Eint.dtype):
+        from ..parallel.mesh import mesh_requested
+
+        sharded = mesh_requested(cfg)
+        if not sharded and self._use_pallas(rt, Eint.dtype):
             from .pallas_mpv3 import update_pallas
 
             omx1, E1 = update_pallas(self, omx, Eint, nH, dt, rt,
@@ -602,6 +605,11 @@ class MPv3:
         # explicitly to avoid paying the stiff cost on every cell.)
         ncell = int(np.prod(omx.shape))
         cap = min(ncell, max(4096, ncell // 8))
+        if sharded:
+            # masked dense ladder: the compaction's global nonzero+take
+            # forces an all-gather under GSPMD (PARITY.md audit); the dense
+            # ladder is elementwise and therefore shard-local
+            cap = ncell
         if cap >= ncell:
             omx_st, E_st = jax.lax.cond(
                 jnp.any(~use_euler), run_stiff,

@@ -610,11 +610,14 @@ class NGHierarchy:
         if cfg.pallas != "off":
             from .ops import pallas_sweep
 
+            from .parallel.mesh import mesh_requested
+
             use = pallas_sweep.supports(cfg) and (
                 cfg.pallas in ("on", "interpret")
                 or (cfg.pallas == "auto"
                     and jax.default_backend() in ("tpu", "axon")
-                    and cfg.dtype == "float32"))
+                    and cfg.dtype == "float32"
+                    and not mesh_requested(cfg)))
             if use:
                 dU_h = pallas_sweep.dynamics_dU_pallas(
                     Ppad, cfg, geom, 0.5 * dt, 1, ch=ch,
@@ -658,13 +661,16 @@ class NGHierarchy:
             from .constants import AV as _AV
             from .ops import pallas_sweep
 
+            from .parallel.mesh import mesh_requested
+
             use_fast = (pallas_sweep.supports(cfg)
                         and cfg.coords is Coord.CARTESIAN
                         and cfg.av is _AV.FALLE
                         and (cfg.pallas in ("on", "interpret")
                              or (cfg.pallas == "auto"
                                  and jax.default_backend() in ("tpu", "axon")
-                                 and cfg.dtype == "float32")))
+                                 and cfg.dtype == "float32"
+                                 and not mesh_requested(cfg))))
         if use_fast:
             from .ops.sweep import interface_flux, interface_flux_pair
 

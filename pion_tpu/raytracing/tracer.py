@@ -459,8 +459,14 @@ class PointSourcePlaneTracer:
         # one kernel per octant instead of ~6 host-issued ops per shell —
         # ~25x faster at 128^3 on v5e; bitwise-equal values up to f32
         # reassociation (verified vs the L1-shell scan in tests)
+        from ..parallel.mesh import mesh_requested
+
         if (nd == 3 and dtau.dtype == jnp.float32
-                and jax.default_backend() in ("tpu", "axon")):
+                and jax.default_backend() in ("tpu", "axon")
+                and not mesh_requested(self.cfg)):
+            # a pallas_call is an opaque full-shape op: under GSPMD it
+            # would force an all-gather of the sharded grid; multi-device
+            # runs keep the XLA plane sweep (rolls -> collective-permutes)
             from .pallas_trace import OctantSweep3D, supports
 
             if supports(shape, self.src_idx, nd):

@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 from .boundaries import BoundaryData, apply_bcs
 from .config import SimConfig
+
+
+def _mesh_req(cfg):
+    from .parallel.mesh import mesh_requested
+
+    return mesh_requested(cfg)
 from .constants import SI, Eqn
 from .grid import Geometry
 from .ops.eqns import cons_to_prim, prim_to_cons
@@ -59,8 +65,11 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
             cfg.pallas in ("on", "interpret")
             or (cfg.pallas == "auto"
                 and jax.default_backend() in ("tpu", "axon")
-                # Mosaic has no native f64; f64 runs use the XLA sweep
-                and cfg.dtype == "float32")
+                # Mosaic has no native f64; f64 runs use the XLA sweep.
+                # Sharded runs use the XLA sweep too: a pallas_call is an
+                # opaque full-shape op that would all-gather under GSPMD
+                and cfg.dtype == "float32"
+                and not _mesh_req(cfg))
         )
         if use:
             interp = cfg.pallas == "interpret"

@@ -262,3 +262,63 @@ def test_mp_timestep_limit_modes_and_tiers():
             assert ts < 1.0e90
         else:
             assert ts > 1.0e90
+
+
+def test_stiff_compaction_overflow_matches_dense():
+    """When the stiff set exceeds the compaction capacity (cap = ncell/8),
+    the update must take the full dense ladder and agree with the
+    compacted path's semantics (VERDICT r4 item 10: pin the overflow
+    branch before building on it)."""
+    import jax.numpy as jnp
+
+    from pion_tpu import SimConfig
+    from pion_tpu.constants import PG, RO
+    from pion_tpu.microphysics import MPv3, MPv3Config
+    from pion_tpu.microphysics.mpv3 import EULER_CUTOFF, MIN_NEUTRAL
+
+    cfg = SimConfig(ndim=3, eqn="euler", solver="hll", ntracer=1,
+                    shape=(40, 40, 40), xmin=(0.0,) * 3, xmax=(1.0,) * 3,
+                    bcs=tuple([("outflow", "outflow")] * 3),
+                    dtype="float64")
+    mpc = MPv3Config(tracer_slot=cfg.eqn.nbase, min_temperature=50.0)
+    mp = MPv3(mpc)
+    rng = np.random.default_rng(11)
+    n = cfg.shape
+    P = np.zeros((cfg.nvar,) + n)
+    P[RO] = 2.34e-22 * (1.0 + rng.random(n))
+    # hot ionized gas cooling hard -> a large stiff fraction at big dt
+    P[PG] = 2.0e-10 * (1.0 + rng.random(n))
+    P[cfg.eqn.nbase] = 0.99
+    P = jnp.asarray(P)
+    rt = mp.default_rt(P)
+    dt = jnp.float64(1.0e12)
+
+    # confirm the stiff set really overflows cap
+    nH = mp.n_H(P[RO])
+    Eint = P[PG] / (mpc.gamma - 1.0)
+    omx = jnp.clip(1.0 - P[cfg.eqn.nbase], MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
+    d_omx, d_E = mp.ydot(omx, Eint, nH, rt)
+    maxdelta = jnp.maximum(jnp.abs(d_omx * dt / omx),
+                           jnp.abs(d_E * dt / Eint))
+    n_stiff = int(jnp.sum(maxdelta >= EULER_CUTOFF))
+    ncell = 40 ** 3
+    cap = max(4096, ncell // 8)
+    assert n_stiff > cap, f"test setup: {n_stiff} stiff <= cap {cap}"
+
+    out_overflow = mp._update_impl(P, dt, cfg, rt)
+
+    # dense-ladder reference: same Euler/stiff select with cap >= ncell
+    import pion_tpu.microphysics.mpv3 as M
+
+    use_euler = maxdelta < EULER_CUTOFF
+    stiffness = jnp.max(jnp.where(use_euler, 0.0, maxdelta))
+    E_floor = mp.n_tot(nH, 1.0 - omx) * 1.380649e-16 * \
+        mpc.min_temperature / (mpc.gamma - 1.0)
+    Eint_f = jnp.where(Eint > 0.0, Eint, E_floor)
+    o_st, e_st = mp._stiff_solve(omx, Eint_f, nH, rt, dt,
+                                 stiffness=stiffness)
+    o_ref = jnp.where(use_euler, omx + dt * d_omx, o_st)
+    e_ref = jnp.where(use_euler, Eint_f + dt * d_E, e_st)
+    ref = mp._finish_update(P, nH, o_ref, e_ref)
+    np.testing.assert_allclose(np.asarray(out_overflow),
+                               np.asarray(ref), rtol=1e-12, atol=0)

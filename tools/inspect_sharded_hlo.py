@@ -4,14 +4,23 @@ Answers "what does XLA actually emit for the halo pattern?" without N real
 chips: compiles the fused step over an 8-virtual-device CPU mesh and counts
 collectives in the optimized HLO (VERDICT r3 item 9 evidence).
 
-Findings (2026-08-21, 2x2x2 mesh, 32^3, f32):
+Findings (2026-08-21 round 5, 2x2x2 mesh, 32^3, f32, cfg.mesh='on'
+so the sharded-run gates engage exactly as a real multi-chip run):
 - dynamics-only GLM+HLLD step: 234 collective-permutes (the ghost-strip
   halo pattern — equivalent to the reference's MCMD_boundaries exchange),
   ZERO all-gathers, 33 small all-reduces (dt/c_h scalars).
-- coupled MPv3+RT+wind step: adds 74 all-gathers + 96 all-to-alls from
-  the RT shell-scan gathers and the stiff-cell compaction (global
-  nonzero+take) — acceptable on one host, the known cost of leaving the
-  causal RT sweep to GSPMD (SURVEY §2.5).
+- coupled MPv3+RT+wind step: 288 permutes, 108 all-reduces, and 154
+  all-gathers from the RT plane sweep's traced-index dynamic slices.
+  The stiff-compaction all-gather (global nonzero+take) is GONE: sharded
+  runs take the masked dense ladder (mpv3._update_impl `sharded` branch),
+  which is elementwise and shard-local.  The remaining RT all-gathers are
+  the known debt of leaving the causal sweep to GSPMD; the designed fix
+  is a shard_map causal wavefront (per-shard octant kernels + boundary-
+  plane ppermutes, raytracer_SC_pllel.cpp:156-221 semantics).
+Single-device fast paths (the Pallas octant sweep / fused MPv3 kernel /
+fused dynamics sweeps) are opaque full-shape ops that would each force an
+all-gather under GSPMD, so sharded runs disable them and take the XLA
+paths; wrapping them in shard_map is the planned multi-chip fast path.
 The hand-scheduled alternative for pure dynamics is wired as
 cfg.halo='explicit' (parallel/halo.py via Simulation).
 """
@@ -55,7 +64,9 @@ def main():
     cfg = SimConfig(ndim=3, eqn="glm", solver="hlld", ntracer=1,
                     shape=(n,) * 3, xmin=(0.0,) * 3, xmax=(1.0,) * 3,
                     bcs=tuple([("outflow", "outflow")] * 3), cfl=0.3,
-                    ooa=2, av="falle", etav=0.1, dtype="float32")
+                    ooa=2, av="falle", etav=0.1, dtype="float32",
+                    mesh="on")  # engage the sharded-run gates (dense
+    # chemistry ladder, XLA RT sweep) exactly as a real multi-chip run
     mesh = make_mesh(cfg)
     P0 = jnp.asarray(blast_wave(cfg, B0=(0.1, 0.05, 0.0)).astype(np.float32))
     sim = Simulation(cfg, shard_state(P0, mesh, cfg))
