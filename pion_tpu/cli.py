@@ -617,10 +617,24 @@ def run_main(argv: List[str]) -> "object":
         else:
             sim = Simulation.restart(target)
         if params.get("mesh"):
+            # restart constructs before overrides apply: re-shard (or
+            # de-shard) the loaded state to honor the requested mesh mode
+            from .parallel.mesh import make_mesh, mesh_requested, shard_state
+
             if cfg.nlevels > 1:
                 sim.cfg0 = sim.cfg0.with_(mesh=params["mesh"])
+                for c in range(len(sim.cfgs)):
+                    sim.cfgs[c] = sim.cfgs[c].with_(mesh=params["mesh"])
+                if mesh_requested(sim.cfg0) and not hasattr(sim, "mesh"):
+                    sim.mesh = make_mesh(sim.cfg0)
+                    sim.P = [shard_state(p, sim.mesh, sim.cfg0)
+                             for p in sim.P]
+                    sim._jit_cache = {}
             else:
                 sim.cfg = sim.cfg.with_(mesh=params["mesh"])
+                if mesh_requested(sim.cfg) and not hasattr(sim, "mesh"):
+                    sim.mesh = make_mesh(sim.cfg)
+                    sim.P = shard_state(sim.P, sim.mesh, sim.cfg)
         tmax = params.get("FinishTime") or params.get("finishtime")
         if tmax:
             if cfg.nlevels > 1:
