@@ -1,4 +1,4 @@
-"""Fused Pallas sweep kernels for Cartesian grids.
+"""Fused Pallas sweep kernels (Cartesian + 2D cylindrical).
 
 The XLA-level sweep (ops/sweep.py) materializes every pipeline stage —
 slopes, edge states, the ~40 HLLD intermediates, fluxes — as full-grid HBM
@@ -13,8 +13,10 @@ The tile math REUSES the same pure-jnp Riemann/eqns functions as the XLA
 path (they trace into the kernel unchanged), so both paths are numerically
 identical — verified by tests in interpret mode.
 
-Scope: Cartesian grids, no H-correction (it needs cross-axis stencils).
-Everything else falls back to ops/sweep.py.
+Scope: Cartesian grids and 2D cylindrical (axisymmetric; the radial axis
+gets a geometry-pack input — com-spaced slopes, metric divergence and the
+radial geometric sources), no H-correction (it needs cross-axis
+stencils).  Everything else falls back to ops/sweep.py.
 """
 from __future__ import annotations
 
