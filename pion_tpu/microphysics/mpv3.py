@@ -659,7 +659,12 @@ class MPv3:
 
     def _use_pallas(self, rt, dtype) -> bool:
         """Trace-time gate for the fused Pallas update/ydot kernel
-        (pallas_mpv3.py): TPU backend, f32, <=1 ionizing source."""
+        (pallas_mpv3.py): TPU backend, f32, <=1 ionizing source, and the
+        module must use MPv3's own rate assembly — subclasses that
+        override ``ydot`` with different physics (MPv5's Henney molecular
+        terms) must NOT take a kernel built from MPv3's formulas."""
+        if type(self).ydot is not MPv3.ydot:
+            return False
         if jax.default_backend() not in ("tpu", "axon"):
             return False
         from .pallas_mpv3 import supports

@@ -81,3 +81,17 @@ def test_update_ladder_matches_xla(ion):
     sc = jnp.maximum(jnp.abs(e_ref), jnp.max(jnp.abs(e_ref)) * 1e-6)
     med = float(jnp.median(jnp.abs(e1 - e_ref) / sc))
     assert med < 0.05
+
+
+def test_subclass_with_custom_ydot_never_takes_kernel():
+    """MPv5 overrides ydot (Henney+09 molecular terms, MPv5.cpp:246); a
+    kernel built from MPv3's formulas would silently run the wrong
+    physics, so the gate must reject any subclass with its own ydot."""
+    from pion_tpu.microphysics.variants import MPv5, MPv6
+
+    mp5 = MPv5(MPv3Config(tracer_slot=5, min_temperature=50.0))
+    assert not mp5._use_pallas({"tau0": None}, jnp.float32)
+    # MPv6 keeps MPv3's ydot (config-only restriction): eligible wherever
+    # MPv3 is (backend-dependent, so just check the method identity)
+    mp6 = MPv6(MPv3Config(tracer_slot=5, min_temperature=50.0))
+    assert type(mp6).ydot is MPv3.ydot
