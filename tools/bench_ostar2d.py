@@ -44,7 +44,7 @@ def main():
     snap = icgen_main([pf, f"dtype={dtype}"])
     t0 = time.perf_counter()
     sim = run_main([snap, f"FinishTime={tfin:.6e}", "log_freq=2048",
-                    "OutputFrequency=0", "chunk=16"])
+                    "OutputFrequency=0", "chunk=256"])
     wall = time.perf_counter() - t0
     P = np.asarray(sim.P)
     ok = bool(np.all(np.isfinite(P)))
