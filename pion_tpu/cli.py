@@ -678,7 +678,7 @@ def run_main(argv: List[str]) -> "object":
                              jet=jet, params=params, **opts)
     max_steps = int(params.get("max_steps", 10**9) or 10**9)
     chunk = int(params.get("chunk", 1) or 1)
-    if chunk > 1 and cfg.nlevels == 1:
+    if chunk > 1:
         sim.run(max_steps=max_steps, chunk=chunk)
     else:
         sim.run(max_steps=max_steps)

@@ -834,8 +834,41 @@ class NGHierarchy:
                                     rt0_map=rt0_map)
                 return tuple(st), dt
 
+            self._jit_cache["fused_raw"] = whole
             self._jit_cache["fused"] = jax.jit(whole)
         return self._jit_cache["fused"]
+
+    def _multi_step_fn(self, K: int):
+        """K fused hierarchy steps in ONE compiled dispatch (lax.scan) —
+        the host-relay amortization that took the Ostar2D single-grid run
+        from 1600 s to 209 s; NG production runs pay the same per-dispatch
+        latency once per hierarchy step otherwise.  Once t reaches the
+        target the in-graph dt clamps to 0 and states pass through."""
+        key = ("multi", K)
+        if key not in self._jit_cache:
+            self._fused_step_fn()
+            whole = self._jit_cache["fused_raw"]
+
+            @jax.jit
+            def runK(states, t, last_dt, t_target, sp=None):
+                def body(carry, _):
+                    st, tc, ldt = carry
+                    cap = t_target - tc
+                    live = cap > 0.0
+                    st2, dt = whole(st, tc, ldt,
+                                    jnp.where(live, cap, 1.0), sp)
+                    dt_eff = jnp.where(live, dt, 0.0)
+                    stn = tuple(jnp.where(live, a, b)
+                                for a, b in zip(st2, st))
+                    return ((stn, tc + dt_eff,
+                             jnp.where(live, dt, ldt)), dt_eff)
+
+                (stn, tn, ldtn), dts = jax.lax.scan(
+                    body, (tuple(states), t, last_dt), None, length=K)
+                return stn, dts
+
+            self._jit_cache[key] = runK
+        return self._jit_cache[key]
 
     def _dt_cap(self) -> float:
         """End-time / next-timed-output ceiling (reference:
@@ -948,13 +981,43 @@ class NGHierarchy:
             self._ckpt_flip ^= 1
             self.save(f"{self.outfile}.{suffix}", wait=False)
 
-    def run(self, tmax: Optional[float] = None, max_steps: int = 10**9):
+    def run(self, tmax: Optional[float] = None, max_steps: int = 10**9,
+            chunk: int = 1):
+        """Advance to ``tmax``.  ``chunk`` > 1 batches that many fused
+        hierarchy steps into one dispatch (see _multi_step_fn); engages
+        only when no host work (timed outputs / fine logging) must run
+        between steps — same contract as Simulation.run."""
         from .utils import StepLogger
 
         tmax = self.cfgs[0].tmax if tmax is None else tmax
         self._tmax = tmax
         logger = StepLogger(self.log_freq)
+        can_chunk = (chunk > 1 and self.opfreq_time == 0.0
+                     and self.opfreq % chunk == 0
+                     and self.checkpoint_freq % chunk == 0
+                     and (self.log_freq == 0 or self.log_freq % chunk == 0))
         while self.t < tmax * (1 - 1e-12) and self.step_count < max_steps:
+            if (can_chunk and self.step_count + chunk <= max_steps
+                    and not (self.step_count == 0
+                             and self.physics is not None
+                             and self.physics.wind_sources)):
+                sp = (self.physics.update_sources(self.t)
+                      if self.physics is not None and self.physics.sources
+                      else None)
+                states, dts = self._multi_step_fn(chunk)(
+                    tuple(self.P), self.t, self.last_dt, tmax, sp)
+                dts = np.asarray(dts)
+                live = int((dts > 0).sum())
+                if live == 0:
+                    break
+                self.P = list(states)
+                self.t += float(dts.sum())
+                self.last_dt = float(dts[live - 1])
+                self.step_count += live
+                dt = float(dts[live - 1])
+                self._maybe_output()
+                logger.log(self.step_count, self.t, dt, self.P[0])
+                continue
             # fused dt+advance (dt capped in-graph to tmax / output times)
             dt = self.step()
             self._maybe_output()

@@ -392,3 +392,37 @@ def test_ng_fast_corrector_matches_xla_path():
             fast[l], ref[l], rtol=2e-5,
             atol=1e-6 * np.abs(ref[l]).max(),
             err_msg=f"level {l}")
+
+
+def test_ng_chunked_run_matches_stepwise():
+    """chunk>1 hierarchy stepping (one lax.scan dispatch per K steps)
+    must reproduce the per-step path bitwise: same dt policy, same
+    states, same end time."""
+    import jax.numpy as jnp
+
+    from pion_tpu import SimConfig
+    from pion_tpu.ics import blast_wave
+    from pion_tpu.ng import NGHierarchy
+
+    cfg = SimConfig(ndim=2, eqn="glm", solver="hlld", shape=(32, 32),
+                    xmin=(0.0, 0.0), xmax=(1.0, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2, cfl=0.3, ooa=2,
+                    av="falle", etav=0.1, nlevels=2, tmax=1.0,
+                    dtype="float64")
+    states = None
+    sims = []
+    for chunk in (1, 4):
+        hier = NGHierarchy(cfg, 2)
+        if states is None:
+            states = [jnp.asarray(blast_wave(c, B0=(0.05, 0.02, 0.0))
+                                  .astype(cfg.np_dtype))
+                      for c in hier.cfgs]
+        hier.set_states(states)
+        hier.run(max_steps=8, chunk=chunk)
+        sims.append(hier)
+    a, b = sims
+    assert a.step_count == b.step_count == 8
+    assert abs(a.t - b.t) <= 1e-12 * a.t
+    for l in range(2):
+        np.testing.assert_array_equal(np.asarray(a.P[l]),
+                                      np.asarray(b.P[l]))
