@@ -19,6 +19,13 @@ from ..config import SimConfig
 class JitCachedMP:
     """Mixin: jit the heavy entry points once per (shape, dtype, cfg)."""
 
+    # absolute primitive-vector indices of ELEMENT mass-fraction tracers
+    # (reference: microphysics_base el_index); the sCMA corrector
+    # renormalizes these to sum to 1 at the advection edge states
+    # (microphysics_base.cpp:96-118).  Empty for the implemented
+    # single-ion H modules; multi-element modules must declare theirs.
+    element_slots: tuple = ()
+
     def _jits(self):
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {

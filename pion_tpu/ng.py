@@ -596,7 +596,9 @@ class NGHierarchy:
         geom = self.geoms[level]
         phys = self.phys[level]
         P = states[level]
-        scma = phys is not None and phys.mp is not None
+        from .stepper import _scma_flag
+
+        scma = _scma_flag(phys)
         glm = cfg.eqn is Eqn.GLM
         ch = cfg.cfl * geom.dx / dt if glm else None
         if t0 is None:

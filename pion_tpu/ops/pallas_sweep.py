@@ -252,13 +252,29 @@ def _axis_tile_math(Pt, cfg: SimConfig, axis: int, order: int, dt, ch,
     if cfg.ntracer:
         fm = flux_r[RO]
         upd = {}
+        el = tuple(scma) if isinstance(scma, (tuple, list)) else ()
+        fac_l = fac_r = None
+        if el:
+            sl = sr = None
+            for e in el:
+                vl = jnp.clip(Pl_r[e], 0.0, 1.0)
+                vr = jnp.clip(Pr_r[e], 0.0, 1.0)
+                sl = vl if sl is None else sl + vl
+                sr = vr if sr is None else sr + vr
+            fac_l = 1.0 / jnp.maximum(sl, 1.0e-30)
+            fac_r = 1.0 / jnp.maximum(sr, 1.0e-30)
         for v in range(cfg.eqn.nbase, cfg.nvar):
             pl_t, pr_t = Pl_r[v], Pr_r[v]
             if scma:
                 # sCMA corrector: advected tracer clamped to <=1 when a
-                # microphysics module owns the tracers (see sweep.py)
+                # microphysics module owns the tracers (see sweep.py);
+                # declared element tracers additionally renormalized to
+                # sum to 1 (microphysics_base.cpp:96-118)
                 pl_t = jnp.minimum(pl_t, 1.0)
                 pr_t = jnp.minimum(pr_t, 1.0)
+                if v in el:
+                    pl_t = pl_t * fac_l
+                    pr_t = pr_t * fac_r
             f_tr = jnp.where(fm > 0.0, pl_t * fm, pr_t * fm)
             upd[v] = jnp.where(fm == 0.0, 0.0, f_tr)
         flux_r = _upd(flux_r, upd)

@@ -55,6 +55,27 @@ def _bcast(v, axis: int, ndim: int):
     return jnp.asarray(v).reshape((1,) * (1 + axis) + (-1,) + (1,) * (ndim - 1 - axis))
 
 
+def _scma_elements(Plt, Prt, Pl_r, Pr_r, el_slots, cfg: SimConfig):
+    """Scale the element tracers of each edge state by 1/sum(clip(el,0,1))
+    (reference: microphysics_base.cpp:96-118 sCMA element loop)."""
+    def factor(P):
+        ssum = None
+        for e in el_slots:
+            v = jnp.clip(P[e], 0.0, 1.0)
+            ssum = v if ssum is None else ssum + v
+        return 1.0 / jnp.maximum(ssum, 1.0e-30)
+
+    fl = factor(Pl_r)
+    fr = factor(Pr_r)
+    base = cfg.eqn.nbase
+    li = list(range(Plt.shape[0]))
+    Plt = jnp.stack([Plt[i] * fl if (base + i) in el_slots else Plt[i]
+                     for i in li])
+    Prt = jnp.stack([Prt[i] * fr if (base + i) in el_slots else Prt[i]
+                     for i in li])
+    return Plt, Prt
+
+
 def _interior(A: jnp.ndarray, cfg: SimConfig, skip_axis: Optional[int] = None):
     """Slice ghost zones off every spatial axis (except ``skip_axis``)."""
     ng = cfg.ng
@@ -412,6 +433,13 @@ def dynamics_dU(
                 # when a microphysics module owns the tracers.
                 Plt = jnp.minimum(Plt, 1.0)
                 Prt = jnp.minimum(Prt, 1.0)
+                if isinstance(scma, (tuple, list)) and len(scma):
+                    # element mass-fraction renormalization: the declared
+                    # element tracers advect with values scaled so their
+                    # clamped sum is 1 (reference:
+                    # microphysics_base.cpp:96-118)
+                    Plt, Prt = _scma_elements(Plt, Prt, Pl_r, Pr_r,
+                                              scma, cfg)
             f_tr = jnp.where(fm > 0.0, Plt * fm, Prt * fm)
             f_tr = jnp.where(fm == 0.0, 0.0, f_tr)
             flux_r = flux_r.at[tr].set(f_tr)

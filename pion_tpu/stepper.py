@@ -25,6 +25,15 @@ def _mesh_req(cfg):
     from .parallel.mesh import mesh_requested
 
     return mesh_requested(cfg)
+
+
+def _scma_flag(physics):
+    """sCMA sweep flag: element-slot tuple when the module declares
+    element tracers, plain True when a module owns the tracers at all."""
+    if physics is None or physics.mp is None:
+        return False
+    el = tuple(getattr(physics.mp, "element_slots", ()) or ())
+    return el if el else True
 from .constants import SI, Eqn
 from .grid import Geometry
 from .ops.eqns import cons_to_prim, prim_to_cons
@@ -83,7 +92,7 @@ def _partial_update(P, Ph, dt, order_space, cfg, geom, bdata, ch,
             dU = pallas_sweep.dynamics_dU_pallas(
                 Ppad, cfg, geom, dt, order_space, ch=ch,
                 interpret=interp,
-                scma=(physics is not None and physics.mp is not None))
+                scma=_scma_flag(physics))
     if dU is None:
         dU, _faces = dynamics_dU(Ppad, cfg, geom, dt, order_space, ch=ch,
                                  scma=(physics is not None

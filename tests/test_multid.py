@@ -225,3 +225,48 @@ def test_chunked_run_matches_per_step():
     assert d.step_count == c.step_count
     np.testing.assert_allclose(np.asarray(d.P), np.asarray(c.P),
                                rtol=1e-12, atol=1e-13)
+
+
+def test_scma_element_renormalization():
+    """Declared element mass-fraction tracers advect with edge states
+    renormalized to sum to 1 (reference: microphysics_base.cpp:96-118
+    sCMA element loop) — and the XLA and Pallas sweeps agree."""
+    import jax.numpy as jnp
+
+    from pion_tpu import SimConfig
+    from pion_tpu.boundaries import BoundaryData, apply_bcs
+    from pion_tpu.grid import make_geometry
+    from pion_tpu.ops import pallas_sweep
+    from pion_tpu.ops.sweep import dynamics_dU
+
+    cfg = SimConfig(ndim=2, eqn="euler", solver="hll", ntracer=2,
+                    shape=(16, 32), xmin=(0.0, 0.0), xmax=(0.5, 1.0),
+                    bcs=(("outflow", "outflow"),) * 2,
+                    cfl=0.3, ooa=2, av="falle", etav=0.1, dtype="float64")
+    geom = make_geometry(cfg)
+    rng = np.random.default_rng(9)
+    P = np.ones((cfg.nvar,) + cfg.shape)
+    P[2] = 0.5  # vx
+    base = cfg.eqn.nbase
+    # two "element" tracers that should sum to 1 but drift off
+    P[base] = 0.6 + 0.1 * rng.random(cfg.shape)
+    P[base + 1] = 0.5 + 0.1 * rng.random(cfg.shape)
+    Pj = jnp.asarray(P)
+    Ppad = apply_bcs(Pj, cfg, BoundaryData())
+    el = (base, base + 1)
+    dU_x, faces = dynamics_dU(Ppad, cfg, geom, jnp.float64(1e-3), 2,
+                              scma=el)
+    dU_p = pallas_sweep.dynamics_dU_pallas(Ppad, cfg, geom,
+                                           jnp.float64(1e-3), 2,
+                                           scma=el, interpret=True)
+    np.testing.assert_allclose(np.asarray(dU_p), np.asarray(dU_x),
+                               rtol=1e-12, atol=1e-18)
+    # the advected element tracer fluxes are renormalized: flux ratio of
+    # the two tracers equals the ratio of their (clamped, renormalized)
+    # upwind values, and their summed flux equals the mass flux where
+    # fm != 0
+    F = faces[1]
+    fm = np.asarray(F[0])
+    ftr = np.asarray(F[base]) + np.asarray(F[base + 1])
+    nz = np.abs(fm) > 1e-12
+    np.testing.assert_allclose(ftr[nz], fm[nz], rtol=1e-12)
