@@ -46,15 +46,11 @@ LANES = 128
 
 
 def supports(mp, rt: Dict, dtype) -> bool:
-    """Kernel eligibility: f32, <=1 ionizing source, no evolving-table
-    pytree surprises.  Everything else falls back to the XLA path."""
+    """Kernel eligibility: f32 and a known rate model.  Multiple ionizing
+    sources are handled by stacking per-source column planes (K static)."""
     if dtype != jnp.float32:
         return False
-    c = mp.mpc
-    entries = rt.get("ion") if rt is not None else None
-    if entries is not None and len(entries) > 1:
-        return False
-    return c.ion_src in (None, "mono", "mfion")
+    return mp.mpc.ion_src in (None, "mono", "mfion")
 
 
 def _hat_curves_T(Tc, tabT, invTr, g):
@@ -122,6 +118,7 @@ def _make_ydot_tile(mp, ion_mode: str, has_uv: bool):
 
     def ydot(omx_in, Eint, nH, tau0, ds, nvsv, g0uv, g0ir, t1T, tauT,
              invTr, r0=None):
+        # tau0/ds/nvsv: (K, tile...) per-source stacks; tauT: (K, 4, NTAU)
         omx = jnp.maximum(omx_in, MIN_NEUTRAL)
         x = 1.0 - omx
         T = (c.gamma - 1.0) * Eint / (
@@ -145,26 +142,28 @@ def _make_ydot_tile(mp, ion_mode: str, has_uv: bool):
         omx_dot = -cirh * ne * omx
         Edot = -C_cih0 * ne * omx
 
-        if ion_mode == "mono":
-            dtau = nH * ds * omx * SIGMA0 * mono_frac
-            rate = nvsv * jnp.exp(-tau0 * mono_frac)
-            rate = rate * jnp.where(
-                dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
-            omx_dot -= rate
-            Edot += rate * E_EXCESS
-        elif ion_mode == "mfion":
-            dtau_cur = nH * ds * omx * SIGMA0
-            if r0 is None:
-                r0 = rows(tau0, tauT)
-            r1 = rows(tau0 + dtau_cur, tauT)
-            big = r0[0] - r1[0]
-            small = r0[2] * dtau_cur / (SIGMA0 * nH)
-            pir = jnp.where(dtau_cur < 0.01, small, big) * nvsv / nH
-            bigh = r0[1] - r1[1]
-            smallh = r0[3] * dtau_cur / (SIGMA0 * nH)
-            pih = jnp.where(dtau_cur < 0.01, smallh, bigh) * nvsv / nH
-            omx_dot -= pir
-            Edot += pih
+        nsrc = tau0.shape[0] if ion_mode in ("mono", "mfion") else 0
+        for k in range(nsrc):
+            tau0k, dsk, nvk = tau0[k], ds[k], nvsv[k]
+            if ion_mode == "mono":
+                dtau = nH * dsk * omx * SIGMA0 * mono_frac
+                rate = nvk * jnp.exp(-tau0k * mono_frac)
+                rate = rate * jnp.where(
+                    dtau < 1.0e-4, dtau, 1.0 - jnp.exp(-dtau)) / nH
+                omx_dot -= rate
+                Edot += rate * E_EXCESS
+            else:  # mfion
+                dtau_cur = nH * dsk * omx * SIGMA0
+                r0k = r0[k] if r0 is not None else rows(tau0k, tauT[k])
+                r1 = rows(tau0k + dtau_cur, tauT[k])
+                big = r0k[0] - r1[0]
+                small = r0k[2] * dtau_cur / (SIGMA0 * nH)
+                pir = jnp.where(dtau_cur < 0.01, small, big) * nvk / nH
+                bigh = r0k[1] - r1[1]
+                smallh = r0k[3] * dtau_cur / (SIGMA0 * nH)
+                pih = jnp.where(dtau_cur < 0.01, smallh, bigh) * nvk / nH
+                omx_dot -= pir
+                Edot += pih
 
         omx_dot += rrhp * x * ne
         Edot -= C_rrh * x * ne
@@ -207,13 +206,15 @@ def _flatten_pad(a, n_pad, fill):
 
 
 def _rt_planes(mp, rt: Dict, shape, dtype, n_pad):
-    """Extract the (single-source) rt fields as padded planes + the tau
-    table.  Scalars are broadcast; padding uses benign values (tau=1e6,
-    ds=0 -> zero photo rates in the pad lanes)."""
+    """Extract the per-source rt fields as K-stacked padded planes + the
+    K-stacked tau tables (reference: per-source Tau slots,
+    rad_src_data.h:27-76).  Scalars are broadcast; padding uses benign
+    values (tau=1e6, ds=0 -> zero photo rates in the pad lanes)."""
     c = mp.mpc
     z = jnp.zeros(shape, dtype=dtype)
     entries = rt.get("ion") if rt is not None else None
-    e = entries[0] if entries else rt
+    if not entries:
+        entries = (rt,) if rt is not None else ({},)
 
     def as_plane(v, fill):
         arr = jnp.asarray(v, dtype=dtype)
@@ -221,27 +222,33 @@ def _rt_planes(mp, rt: Dict, shape, dtype, n_pad):
             arr = jnp.broadcast_to(arr, shape)
         return _flatten_pad(arr, n_pad, fill)
 
-    tau0 = as_plane(e.get("tau0", z + 1.0e6), 1.0e6)
-    ds = as_plane(e.get("ds", z), 0.0)
-    if c.ion_src == "mono":
-        nv = e.get("nv", None)
-        if nv is None:
-            nv = e["n_idot"] / e["vshell"]
-        nvsv = as_plane(nv, 0.0)
-        taustack = jnp.zeros((1, 8), dtype=dtype)
-    elif c.ion_src == "mfion":
-        sv = e.get("sv", None)
-        if sv is None:
-            sv = jnp.exp(float(np.log(10.0)) * mp.rate_scale_log) \
-                / e["vshell"]
-        nvsv = as_plane(sv, 0.0)
-        stack = e.get("tau_stack")
-        if stack is None:
-            stack = mp.tab["tau_stack"]
-        taustack = jnp.asarray(stack, dtype=dtype).T  # (4, NTAU)
-    else:
-        nvsv = as_plane(z, 0.0)
-        taustack = jnp.zeros((1, 8), dtype=dtype)
+    tau0s, dss, nvsvs, stacks = [], [], [], []
+    for e in entries:
+        tau0s.append(as_plane(e.get("tau0", z + 1.0e6), 1.0e6))
+        dss.append(as_plane(e.get("ds", z), 0.0))
+        if c.ion_src == "mono":
+            nv = e.get("nv", None)
+            if nv is None:
+                nv = e["n_idot"] / e["vshell"]
+            nvsvs.append(as_plane(nv, 0.0))
+            stacks.append(jnp.zeros((4, 8), dtype=dtype))
+        elif c.ion_src == "mfion":
+            sv = e.get("sv", None)
+            if sv is None:
+                sv = jnp.exp(float(np.log(10.0)) * mp.rate_scale_log) \
+                    / e["vshell"]
+            nvsvs.append(as_plane(sv, 0.0))
+            stack = e.get("tau_stack")
+            if stack is None:
+                stack = mp.tab["tau_stack"]
+            stacks.append(jnp.asarray(stack, dtype=dtype).T)  # (4, NTAU)
+        else:
+            nvsvs.append(as_plane(z, 0.0))
+            stacks.append(jnp.zeros((4, 8), dtype=dtype))
+    tau0 = jnp.stack(tau0s)
+    ds = jnp.stack(dss)
+    nvsv = jnp.stack(nvsvs)
+    taustack = jnp.stack(stacks)          # (K, 4, NTAU)
     g0uv = as_plane(rt.get("g0_uv", z) if rt else z, 0.0)
     g0ir = as_plane(rt.get("g0_ir", z) if rt else z, 0.0)
     return tau0, ds, nvsv, g0uv, g0ir, taustack
@@ -298,8 +305,11 @@ def ydot_pallas(mp, omx, Eint, nH, rt: Dict, interpret: bool = False):
 
     rows = n_pad // LANES
     grid = (rows // TILE,)
+    K = tau0.shape[0]
     tile_spec = pl.BlockSpec((TILE, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    ktile_spec = pl.BlockSpec((K, TILE, LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
     full = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -307,9 +317,9 @@ def ydot_pallas(mp, omx, Eint, nH, rt: Dict, interpret: bool = False):
                    jax.ShapeDtypeStruct((rows, LANES), dtype)),
         grid=grid,
         in_specs=[full(t1T.shape, lambda i: (0, 0)),
-                  full(taustack.shape, lambda i: (0, 0)),
+                  full(taustack.shape, lambda i: (0, 0, 0)),
                   full(invTr.shape, lambda i: (0, 0))]
-        + [tile_spec] * 8,
+        + [tile_spec] * 3 + [ktile_spec] * 3 + [tile_spec] * 2,
         out_specs=(tile_spec, tile_spec),
         interpret=interpret,
     )(t1T, taustack, invTr, o2, e2, h2, tau0, ds, nvsv, g0uv, g0ir)
@@ -375,8 +385,10 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
         taus = tau_ref[:]
         itr = it_ref[:]
         # tau0 is constant through the whole ladder: its 4-curve lookup is
-        # hoisted out of every Newton/linearize evaluation
-        r0 = rows_fn(tau0v, taus) if ion_mode == "mfion" else None
+        # hoisted out of every Newton/linearize evaluation (per source)
+        r0 = ([rows_fn(tau0v[k], taus[k])
+               for k in range(tau0v.shape[0])]
+              if ion_mode == "mfion" else None)
 
         def rhs(o, e):
             return ydot_tile(o, e, nHv, tau0v, dsv, nvv, guv, gir, t1,
@@ -467,10 +479,13 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
     full = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     args = [dt_arr, t1T, taustack, invTr, o2, e2, h2, tau0, ds, nvsv,
             g0uv, g0ir]
-    n_tiles = 8
+    K = tau0.shape[0]
+    ktile_spec = pl.BlockSpec((K, TILE, LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    post_specs = [tile_spec] * 2
     if have_f0:
         args += [f0o2, f0e2]
-        n_tiles += 2
+        post_specs += [tile_spec] * 2
     out = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), dtype),
@@ -478,9 +493,9 @@ def update_pallas(mp, omx0, Eint0, nH, dt, rt: Dict,
         grid=grid,
         in_specs=[smem,
                   full(t1T.shape, lambda i: (0, 0)),
-                  full(taustack.shape, lambda i: (0, 0)),
+                  full(taustack.shape, lambda i: (0, 0, 0)),
                   full(invTr.shape, lambda i: (0, 0))]
-        + [tile_spec] * n_tiles,
+        + [tile_spec] * 3 + [ktile_spec] * 3 + post_specs,
         out_specs=(tile_spec, tile_spec),
         interpret=interpret,
     )(*args)

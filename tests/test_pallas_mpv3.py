@@ -95,3 +95,22 @@ def test_subclass_with_custom_ydot_never_takes_kernel():
     # MPv3 is (backend-dependent, so just check the method identity)
     mp6 = MPv6(MPv3Config(tracer_slot=5, min_temperature=50.0))
     assert type(mp6).ydot is MPv3.ydot
+
+
+def test_multi_source_ydot_matches_xla():
+    """K=2 ionizing sources through the kernel's stacked per-source
+    planes (reference: per-source Tau slots, rad_src_data.h:27-76)."""
+    for ion in ("mono", "mfion"):
+        mp, omx, Eint, nH, rt = _setup(ion)
+        z = jnp.zeros(SHAPE, jnp.float32)
+        e1 = {"tau0": rt["tau0"], "ds": rt["ds"], "nv": rt["nv"],
+              "sv": rt["sv"]}
+        e2 = {"tau0": rt["tau0"] * 2.0, "ds": rt["ds"], "nv": z + 5e-4,
+              "sv": z + 5e-4}
+        rt2 = dict(rt)
+        rt2["ion"] = (e1, e2)
+        d0, e0 = mp.ydot(omx, Eint, nH, rt2)
+        d1, e1v = ydot_pallas(mp, omx, Eint, nH, rt2, interpret=True)
+        for a, b, tol in ((d0, d1, 5e-3), (e0, e1v, 3e-2)):
+            sc = jnp.maximum(jnp.abs(a), jnp.max(jnp.abs(a)) * 1e-6)
+            assert float(jnp.max(jnp.abs(b - a) / sc)) < tol
