@@ -66,6 +66,10 @@ def octant_shapes(shape, src_idx):
 
 
 def supports(shape, src_idx, ndim) -> bool:
+    """3D only.  (A 2D depth-1 embedding reduces exactly to the 2D C2Ray
+    weights — validated in tests — but the degenerate (1, n) face planes
+    run far below the XLA plane sweep on real hardware, so 2D stays on
+    the XLA path.)"""
     if ndim != 3:
         return False
     return all(4 * _padded_bytes(s) <= VMEM_BUDGET
@@ -98,7 +102,11 @@ def _octant_kernel_3d(sz: int, sy: int, sx: int, tmin: float, dtype,
 
     def shift1(p, axis):
         """One step toward the source along ``axis`` with edge replication
-        (offset-0 rows keep their own value: sgn=0 at the source plane)."""
+        (offset-0 rows keep their own value: sgn=0 at the source plane).
+        Length-1 axes (depth-1 2D embedding) shift to themselves — and
+        Mosaic rejects the 0-sized slice the concat form would need."""
+        if p.shape[axis] == 1:
+            return p
         if axis == 0:
             return jnp.concatenate([p[:1, :], p[:-1, :]], axis=0)
         return jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)

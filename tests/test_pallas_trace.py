@@ -47,4 +47,29 @@ def test_supports_gates_on_vmem():
     # centered 128^3 fits; a corner source at 192^3 does not
     assert supports((128, 128, 128), (64, 64, 64), 3)
     assert not supports((192, 192, 192), (0, 0, 0), 3)
-    assert not supports((64, 64), (32, 32), 2)
+    assert not supports((64, 64), (32, 32), 2)  # 2D: XLA path (slow degenerate layout on hw)
+
+
+def test_octant_sweep_2d_embedding():
+    """2D point-source tracing through the 3D kernel as a depth-1 cube:
+    the 3D C2Ray weights with z-offset 0 reduce exactly to the 2D
+    formulas (w3 = w4 = 0)."""
+    for shape, posf in (((16, 16), (0.5, 0.5)), ((12, 20), (0.3, 0.7)),
+                        ((16, 16), (0.02, 0.9))):
+        xmax = tuple(n / 16 for n in shape)
+        cfg = SimConfig(ndim=2, eqn="euler", solver="hll", shape=shape,
+                        xmin=(0.0, 0.0), xmax=xmax,
+                        bcs=tuple([("outflow", "outflow")] * 2),
+                        dtype="float32")
+        geom = make_geometry(cfg)
+        pos = tuple(posf[a] * xmax[a] for a in range(2))
+        tr_ref = PointSourceTracer(cfg, geom, pos)
+        tr_pl = PointSourcePlaneTracer(cfg, geom, pos)
+        rng = np.random.default_rng(4)
+        dtau = jnp.asarray(rng.uniform(0.01, 0.5, shape).astype(np.float32))
+        tau_ref = tr_ref.trace(dtau)
+        sweep = OctantSweep3D((1,) + shape, (0,) + tr_pl.src_idx,
+                              tr_pl.tau_min, interpret=True)
+        tau_k = sweep(dtau[None])[0] - dtau
+        assert float(jnp.max(jnp.abs(tau_k - tau_ref))) < 5e-6 * float(
+            jnp.max(tau_ref))
