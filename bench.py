@@ -158,8 +158,14 @@ def coupled_bench(on_tpu, readback):
 
     run_steps(2)                 # warm/compile
     k = 6 if on_tpu else 2
+    # production stepping: k fused hierarchy steps per dispatch
+    # (NGHierarchy.run(chunk=k) path; bitwise-identical to per-step runs)
+    mfn = hier._multi_step_fn(k)
+    st, _d = mfn(tuple(hier.P), hier.t, hier.last_dt, 1.0e16, None)
+    readback(st[0])
     t0 = time.perf_counter()
-    run_steps(k)
+    st, _d = mfn(tuple(st), hier.t, hier.last_dt, 1.0e16, None)
+    readback(st[0])
     t_coupled = (time.perf_counter() - t0) / k
 
     # pure-dynamics NG step on the identical hierarchy for the cost ratio
