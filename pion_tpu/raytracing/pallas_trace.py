@@ -298,3 +298,74 @@ class OctantSweep3D:
                 col, oct_col.astype(dtau.dtype),
                 tuple(a for a, _ in sl))
         return col
+
+
+# ---------------------------------------------------------------------------
+# sharded octant trace: the causal-pipeline equivalent under shard_map
+# (reference: raytracer_SC_pllel.cpp:156-221 recv-upstream -> trace ->
+# send-downstream).  For the production case — source centered on the
+# shard boundaries of a 2x2x2 mesh — every octant is local to one shard:
+# the only communication is a 1-deep halo of the source planes (ppermute),
+# and each shard runs the SAME octant kernel on its flip-normalized block.
+# ---------------------------------------------------------------------------
+
+def supports_sharded(shape, src_idx, mesh) -> bool:
+    """Eligibility: 3D, every mesh axis split exactly in 2, and the source
+    cell sitting at the lower side of the split (src = n/2 - 1), so each
+    octant coincides with one shard plus a single ghost plane."""
+    if len(shape) != 3 or tuple(mesh.devices.shape) != (2, 2, 2):
+        return False
+    for a in range(3):
+        if shape[a] % 2 or src_idx[a] != shape[a] // 2 - 1:
+            return False
+    n2 = shape[0] // 2 + 1
+    return 4 * _padded_bytes((n2, n2, n2)) <= VMEM_BUDGET
+
+
+def sharded_octant_trace(dtau, mesh, tau_min: float,
+                         interpret: bool = False):
+    """Total optical depth at cell exit (col) for a sharded grid, zero
+    all-gathers: per-shard octant kernels + one boundary-plane ppermute
+    per axis.  ``dtau`` must be sharded (or shardable) as P('z','y','x')
+    over ``mesh``; values equal the single-device octant sweep's."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    names = mesh.axis_names
+    shape = dtau.shape
+    n2 = shape[0] // 2 + 1
+    kern = _octant_kernel_3d(n2, n2, n2, tmin=tau_min,
+                             dtype=jnp.float32, interpret=interpret)
+    iz, iy, ix = np.meshgrid(np.arange(n2), np.arange(n2), np.arange(n2),
+                             indexing="ij")
+    maskx = (ix >= iy) & (ix >= iz)
+
+    def local(dtau_l):
+        cube = dtau_l
+        # lower ghost plane per axis: the source plane lives in the
+        # lower-side shard; ppermute it to the upper neighbor (shard 0
+        # receives zeros — its ghost slot is junk beyond its octant)
+        for a, nm in enumerate(names):
+            top = jax.lax.slice_in_dim(cube, cube.shape[a] - 1,
+                                       cube.shape[a], axis=a)
+            # the ghost must carry the neighbor's TOP plane only along
+            # this axis but the already-attached ghosts of earlier axes
+            # too — sequential exchange propagates edges/corners
+            recv = jax.lax.ppermute(top, nm, perm=[(0, 1)])
+            cube = jnp.concatenate([recv, cube], axis=a)
+        # flip-normalize: lower-side shards (axis index 0) sweep from
+        # their top corner; flipping the padded cube puts the source
+        # plane at index 0 for every shard (single program, no cond)
+        flips = [jax.lax.axis_index(nm) == 0 for nm in names]
+        for a in range(3):
+            cube = jnp.where(flips[a], jnp.flip(cube, axis=a), cube)
+        cubeT = jnp.transpose(cube, (2, 1, 0))
+        A, colx = kern(cube, cubeT)
+        col = jnp.where(maskx, jnp.transpose(colx, (2, 1, 0)), A)
+        for a in range(3):
+            col = jnp.where(flips[a], jnp.flip(col, axis=a), col)
+        return col[1:, 1:, 1:]
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(*names),
+                   out_specs=P(*names), check_vma=False)
+    return fn(dtau)

@@ -441,6 +441,7 @@ class PointSourcePlaneTracer:
         self.n_steps = int(max(max(src_idx[a], shape[a] - 1 - src_idx[a])
                                for a in range(nd)))
         self._octant_sweep = None  # lazy Pallas fast path (3D TPU f32)
+        self._shard_mesh = None    # lazy mesh for the sharded trace
 
     @staticmethod
     def _shift_toward(arr, sgn_b, axis):
@@ -461,6 +462,22 @@ class PointSourcePlaneTracer:
         # reassociation (verified vs the L1-shell scan in tests)
         from ..parallel.mesh import mesh_requested
 
+        if nd == 3 and dtau.dtype == jnp.float32 and mesh_requested(self.cfg):
+            # sharded runs: the shard_map causal-pipeline trace (per-shard
+            # octant kernels + one source-plane ppermute per axis — the
+            # raytracer_SC_pllel.cpp:156-221 schedule, zero all-gathers)
+            # for the centered-source 2x2x2 decomposition
+            from ..parallel.mesh import make_mesh
+            from .pallas_trace import sharded_octant_trace, supports_sharded
+
+            if self._shard_mesh is None:
+                self._shard_mesh = make_mesh(self.cfg)
+            if supports_sharded(shape, self.src_idx, self._shard_mesh):
+                col = sharded_octant_trace(
+                    dtau, self._shard_mesh, self.tau_min,
+                    interpret=jax.default_backend()
+                    not in ("tpu", "axon"))
+                return col - dtau
         if (nd == 3 and dtau.dtype == jnp.float32
                 and jax.default_backend() in ("tpu", "axon")
                 and not mesh_requested(self.cfg)):

@@ -73,3 +73,39 @@ def test_octant_sweep_2d_embedding():
         tau_k = sweep(dtau[None])[0] - dtau
         assert float(jnp.max(jnp.abs(tau_k - tau_ref))) < 5e-6 * float(
             jnp.max(tau_ref))
+
+
+def test_sharded_octant_trace_matches():
+    """shard_map causal-pipeline trace (per-shard octant kernels + one
+    source-plane ppermute per axis; reference:
+    raytracer_SC_pllel.cpp:156-221) matches the single-device shell scan
+    on an 8-device 2x2x2 mesh — the zero-all-gather RT schedule."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pion_tpu.parallel.mesh import make_mesh
+    from pion_tpu.raytracing.pallas_trace import (sharded_octant_trace,
+                                                  supports_sharded)
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    shape = (16, 16, 16)
+    cfg = SimConfig(ndim=3, eqn="euler", solver="hll", shape=shape,
+                    xmin=(0.0,) * 3, xmax=(1.0,) * 3,
+                    bcs=tuple([("outflow", "outflow")] * 3),
+                    dtype="float32")
+    geom = make_geometry(cfg)
+    tr = PointSourceTracer(cfg, geom, (0.5, 0.5, 0.5))
+    mesh = make_mesh(cfg)
+    assert supports_sharded(shape, tr.src_idx, mesh)
+    rng = np.random.default_rng(3)
+    dtau = jnp.asarray(rng.uniform(0.01, 0.5, shape).astype(np.float32))
+    tau_ref = tr.trace(dtau)
+    dtau_sh = jax.device_put(dtau, NamedSharding(mesh, P("z", "y", "x")))
+    col = sharded_octant_trace(dtau_sh, mesh, tr.tau_min, interpret=True)
+    assert len(col.sharding.device_set) == 8
+    assert float(jnp.max(jnp.abs((col - dtau_sh) - tau_ref))) < 5e-6 * \
+        float(jnp.max(tau_ref))
+    # off-center sources are not eligible (they take the GSPMD sweep)
+    assert not supports_sharded(shape, (3, 7, 7), mesh)

@@ -9,14 +9,14 @@ so the sharded-run gates engage exactly as a real multi-chip run):
 - dynamics-only GLM+HLLD step: 234 collective-permutes (the ghost-strip
   halo pattern — equivalent to the reference's MCMD_boundaries exchange),
   ZERO all-gathers, 33 small all-reduces (dt/c_h scalars).
-- coupled MPv3+RT+wind step: 288 permutes, 108 all-reduces, and 154
-  all-gathers from the RT plane sweep's traced-index dynamic slices.
-  The stiff-compaction all-gather (global nonzero+take) is GONE: sharded
-  runs take the masked dense ladder (mpv3._update_impl `sharded` branch),
-  which is elementwise and shard-local.  The remaining RT all-gathers are
-  the known debt of leaving the causal sweep to GSPMD; the designed fix
-  is a shard_map causal wavefront (per-shard octant kernels + boundary-
-  plane ppermutes, raytracer_SC_pllel.cpp:156-221 semantics).
+- coupled MPv3+RT+wind step: **ZERO all-gathers** (78 permutes, 102
+  all-reduces).  The two r4 all-gather sources are both eliminated:
+  stiff compaction -> masked dense ladder when sharded (elementwise,
+  shard-local), and the RT trace -> the shard_map causal-pipeline
+  schedule (pallas_trace.sharded_octant_trace: per-shard octant kernels
+  + one source-plane ppermute per axis — the raytracer_SC_pllel.cpp:
+  156-221 recv-trace-send wavefront) for the centered-source 2x2x2
+  decomposition; other source/mesh layouts take the GSPMD plane sweep.
 Single-device fast paths (the Pallas octant sweep / fused MPv3 kernel /
 fused dynamics sweeps) are opaque full-shape ops that would each force an
 all-gather under GSPMD, so sharded runs disable them and take the XLA
