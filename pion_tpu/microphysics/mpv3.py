@@ -476,7 +476,11 @@ class MPv3:
             h = dt / n_sub
 
         def rhs(omx, E):
-            return self.ydot(omx, E, nH, rt)
+            # dtype-preserving: the rate tables are built at the ambient
+            # precision (f64 under x64), which would promote an f32 state
+            # and break the while-loop carries
+            a, b = self.ydot(omx, E, nH, rt)
+            return a.astype(omx.dtype), b.astype(E.dtype)
 
         def newton_step(y, y_prev):
             omx, E = y
@@ -561,6 +565,9 @@ class MPv3:
 
     def _update_impl(self, P, dt, cfg: SimConfig, rt: Dict):
         c = self.mpc
+        # host-float dt traces as weak f64 under x64; the ladder carries
+        # must stay in the state dtype
+        dt = jnp.asarray(dt, P.dtype)
         nH = self.n_H(P[RO])
         Eint = P[PG] / (c.gamma - 1.0)
         omx = jnp.clip(1.0 - P[c.tracer_slot], MIN_NEUTRAL, 1.0 - MIN_NEUTRAL)
@@ -579,6 +586,8 @@ class MPv3:
             return self._finish_update(P, nH, omx1, E1)
 
         d_omx, d_E = self.ydot(omx, Eint, nH, rt)
+        d_omx = d_omx.astype(omx.dtype)
+        d_E = d_E.astype(Eint.dtype)
         maxdelta = jnp.maximum(jnp.abs(d_omx * dt / omx),
                                jnp.abs(d_E * dt / Eint))
         omx_eul = omx + dt * d_omx

@@ -49,3 +49,65 @@ def test_nproc_invariance():
     b = np.asarray(sim_par.P)
     assert sim_serial.step_count == sim_par.step_count
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-13)
+
+
+def test_coupled_sharded_run_matches_single_device():
+    """End-to-end COUPLED (MPv3 + point-source RT + wind) run on the
+    8-device mesh vs single-device: the shard-local paths (dense
+    chemistry ladder, shard_map causal RT trace) must reproduce the
+    unsharded fields — the silocompare serial-vs-parallel gate on the
+    full physics composition."""
+    import jax
+    import jax.numpy as jnp
+
+    from pion_tpu import SimConfig, Simulation
+    from pion_tpu.constants import K_B, MSUN, PG, RO, YEAR
+    from pion_tpu.microphysics import MPv3, MPv3Config
+    from pion_tpu.physics import Physics
+    from pion_tpu.raytracing import Source
+    from pion_tpu.winds import WindSource
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    n = 16
+    L = 3.0e18
+    base = dict(ndim=3, eqn="euler", solver="hll", ntracer=1,
+                shape=(n,) * 3, xmin=(0.0,) * 3, xmax=(L,) * 3,
+                bcs=tuple([("outflow", "outflow")] * 3),
+                cfl=0.3, ooa=2, av="falle", etav=0.1, dtype="float32",
+                min_temperature=50.0, tmax=1.0e16)
+
+    def build(mesh_mode):
+        cfg = SimConfig(mesh=mesh_mode, **base)
+        mpc = MPv3Config(tracer_slot=cfg.eqn.nbase, ion_src="mono",
+                         n_idot=1.0e48, min_temperature=50.0)
+        ctr = (0.5 * L,) * 3
+        phys = Physics(
+            mp=MPv3(mpc),
+            sources=[Source(position=ctr, strength=1.0e48,
+                            effect="mono")],
+            wind_sources=[WindSource(position=ctr, radius=2.5 * cfg.dx,
+                                     mdot=1.0e-7 * MSUN / YEAR,
+                                     vinf=2.0e8, t_wind=3.0e4,
+                                     tracers=(1.0,))],
+            dt_limit=True)
+        P0 = np.zeros((cfg.nvar,) + cfg.shape, dtype=np.float32)
+        P0[RO] = 10.0 * mpc.mean_mass_per_h
+        P0[PG] = 11.0 * K_B * 100.0
+        P0[cfg.eqn.nbase] = 1.0e-6
+        return Simulation(cfg, jnp.asarray(P0), physics=phys)
+
+    sim1 = build("off")
+    sim8 = build("on")
+    assert len(sim8.P.sharding.device_set) == 8
+    for _ in range(4):
+        sim1.step()
+        sim8.step()
+    a = np.asarray(sim1.P)
+    b = np.asarray(sim8.P)
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    # shard-local paths differ from the single-device Pallas/XLA mix only
+    # by fp reassociation; on the CPU test backend both take XLA dynamics,
+    # so fields agree tightly
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-30)
